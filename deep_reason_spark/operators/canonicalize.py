@@ -1,0 +1,175 @@
+"""Entity canonicalization — connected components over a similarity-edge
+DataFrame (SURVEY.md §2.7 G5).
+
+The reference performs entity merging *inside the LLM* ("always use the
+most complete identifier", deep-reason ``prompts/kg_prompts.py:25,42``;
+KG-refine merges duplicate nodes, ``kg_agent/chains.py:100-110``). Our
+engine makes it a dataflow operator: build similarity edges cheaply
+(blocking, never O(n²) pairs), then run connected components and pick one
+canonical representative per component.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame joins — converges in O(log n) rounds regardless of component
+diameter, which is what survives 10^12-node graphs (naive label
+propagation needs O(diameter) rounds).
+
+Scale hardening (north rule):
+- ``localCheckpoint()`` every iteration truncates lineage — without it the
+  plan grows exponentially and the driver OOMs around round 10;
+- hub entities (a node with 10^4+ similarity neighbors) make the per-node
+  min-neighbor aggregation hot: partial (map-side) aggregation already
+  splits that, and ``salt`` adds an explicit two-phase
+  ``groupBy(node, salt) → groupBy(node)`` reduction for the extreme case;
+- the join of edges against per-node minima is skew-split by AQE
+  (``spark.sql.adaptive.skewJoin.enabled``, on in our session factory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_by_key(df: DataFrame, key: str, val: str, salt: int) -> DataFrame:
+    """min(val) per key; optionally salted two-phase (explicit hot-key path)."""
+    if salt <= 1:
+        return df.groupBy(key).agg(F.min(val).alias("_m"))
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(val), F.lit(salt)))
+        .groupBy(key, "_salt")
+        .agg(F.min(val).alias("_pm"))
+    )
+    return partial.groupBy(key).agg(F.min("_pm").alias("_m"))
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set, deduped, self-loops dropped, as (u, v)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(b: DataFrame, salt: int) -> DataFrame:
+    """large-star: every neighbor v > u links to min(N(u) ∪ {u})."""
+    mins = _min_by_key(b, "u", "v", salt).withColumnRenamed("u", "_u")
+    m = b.join(mins, b["u"] == F.col("_u")).select(
+        "u", "v", F.least(F.col("_m"), F.col("u")).alias("m")
+    )
+    return m.where(F.col("v") > F.col("u")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+
+
+def _small_star(b: DataFrame, salt: int) -> DataFrame:
+    """small-star: neighbors v ≤ u (and u itself) link to the local min."""
+    down = b.where(F.col("v") <= F.col("u"))
+    mins = _min_by_key(down, "u", "v", salt).withColumnRenamed("u", "_u")
+    withm = down.join(mins, down["u"] == F.col("_u")).select(
+        "u", "v", F.col("_m").alias("m")
+    )
+    out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        withm.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    salt: int = 0,
+) -> DataFrame:
+    """→ (node, component) where component = min node id of the component.
+
+    Isolated endpoints appear (every node seen in ``edges`` gets a label);
+    callers union isolated nodes back with label = own id."""
+    b = _canon_edges(edges, src, dst).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e1 = _large_star(b, salt).distinct()
+        e2 = _small_star(e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+                         .where(F.col("u") != F.col("v")).distinct(), salt)
+        b2 = e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v"))).where(
+            F.col("u") != F.col("v")
+        ).distinct().localCheckpoint()  # truncate lineage each round
+        sig = b2.agg(
+            F.count("*").alias("n"),
+            # decimal sum: overflow-proof under ANSI mode (Spark 4 default)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        b = b2
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+
+    # final state is a star forest pointing at component minima
+    nodes = _canon_edges(edges, src, dst).select("u").distinct()
+    labels = _min_by_key(b, "u", "v", salt).select(
+        F.col("u").alias("node"), F.col("_m").alias("component")
+    )
+    return (
+        nodes.join(labels, nodes["u"] == labels["node"], "left")
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.coalesce("component", F.col("u")), F.col("u")).alias("component"),
+        )
+    )
+
+
+def normalize_name(col):
+    """Blocking key: lowercase, collapse non-alphanumerics."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+
+
+def build_similarity_edges(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "canonical_name",
+    extra_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Similarity edges via *blocking*, never pairwise O(n²):
+
+    every id sharing a normalized-name block links to the block's min id
+    (a star per block — |block| edges, not |block|²). Extra edge sources
+    (alias links, LSH buckets, embedding neighbors) union in."""
+    keyed = entities.select(
+        F.col(id_col).alias("id"), normalize_name(F.col(name_col)).alias("_blk")
+    ).where(F.length(F.trim("_blk")) > 0).distinct()
+    reps = keyed.groupBy("_blk").agg(F.min("id").alias("_rep"))
+    star = (
+        keyed.join(reps, "_blk")
+        .where(F.col("id") != F.col("_rep"))
+        .select(F.col("id").alias("src"), F.col("_rep").alias("dst"))
+    )
+    if extra_edges is not None:
+        star = star.unionByName(extra_edges.select("src", "dst"))
+    return star
+
+
+def canonicalize_entities(
+    linked_nodes: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "canonical_name",
+    extra_edges: DataFrame | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """→ (entity_id, canonical_id): every entity mapped to its component
+    representative (min id). Entities in no similarity edge map to
+    themselves."""
+    edges = build_similarity_edges(linked_nodes, id_col, name_col, extra_edges)
+    cc = connected_components(edges, salt=salt)
+    all_ids = linked_nodes.select(F.col(id_col).alias("node")).distinct()
+    return (
+        all_ids.join(cc, "node", "left")
+        .select(
+            F.col("node").alias("entity_id"),
+            F.coalesce("component", F.col("node")).alias("canonical_id"),
+        )
+    )

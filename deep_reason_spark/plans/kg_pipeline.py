@@ -1,0 +1,176 @@
+"""The flagship pipeline — repo_files → chunks → triples → linked →
+canonicalized → nodes/edges, checkpointed and resumable.
+
+Mirrors the reference's KG-construction lifecycle (SURVEY.md §3.1:
+``START → triplets_mining → ontology_refining → kg_refining → END``,
+deep-reason ``kg_agent/agent.py:142-155``) as a DAG of DataFrames:
+
+  stage ``triples``   = triplets_mining (chunk + extract, per-bucket
+                        checkpointed — the expensive LLM-shaped stage);
+  stage ``graph``     = ontology/kg refining collapsed into deterministic
+                        dataflow: entity linking (broadcast join),
+                        canonicalization (CC), node typing + description
+                        merge (the map-reduce path the reference itself
+                        offers at ``kg_agent/agent.py:118-124``).
+
+Scale shape: stage 1 shuffles once (repartition by repo for co-location +
+the per-document window); stage 2's joins are broadcast; the CC iterations
+and metric groupBys are the only remaining shuffles, all AQE-managed.
+Extraction metrics are Spark accumulators (reference drops failed rows and
+logs, ``kg_agent/chains.py:286-292,377-387``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deep_reason_spark.operators.canonicalize import canonicalize_entities
+from deep_reason_spark.operators.chunker import chunk_repo_files
+from deep_reason_spark.operators.extractor import extract_triples
+from deep_reason_spark.operators.graph import add_combined_degree, build_edges, build_nodes
+from deep_reason_spark.operators.linking import link_triples
+from deep_reason_spark.sources.checkpoint import (
+    CheckpointLedger,
+    bucket_col,
+    write_partitioned,
+)
+
+TRIPLES_DIR = "triples"
+NODES_DIR = "nodes"
+EDGES_DIR = "edges"
+MAPPING_DIR = "entity_mapping"
+
+
+@dataclass
+class PipelineMetrics:
+    chunks_in: int = 0
+    triples_out: int = 0
+    extract_errors: int = 0
+    buckets_processed: int = 0
+    buckets_skipped: int = 0
+    wall_ms: dict = field(default_factory=dict)
+
+
+def run_triples_stage(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    resume: bool = True,
+    metrics: PipelineMetrics | None = None,
+) -> DataFrame:
+    """Stage 1: chunk + extract, checkpointed per repo-hash bucket.
+
+    Resume = LEFT ANTI JOIN of input buckets vs the ledger (reference's
+    cache-hit skip, kg_agent/agent.py:49-52 / rag/pipeline.py:536-545)."""
+    metrics = metrics or PipelineMetrics()
+    ledger = CheckpointLedger(spark, out_dir)
+    files = repo_files.withColumn("bucket", bucket_col("repo", n_buckets))
+
+    if resume:
+        done = ledger.committed_buckets("triples")
+        todo_files = files.join(done, "bucket", "left_anti")
+        n_done = done.count()
+        metrics.buckets_skipped = n_done
+    else:
+        todo_files = files
+
+    t0 = time.monotonic()
+    err_acc = spark.sparkContext.accumulator(0)
+    if todo_files.limit(1).count() > 0:
+        chunks = chunk_repo_files(todo_files.drop("bucket"))
+        triples = extract_triples(chunks, error_acc=err_acc).withColumn(
+            "bucket", bucket_col("repo", n_buckets)
+        )
+        write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR))
+        wall = int((time.monotonic() - t0) * 1000)
+        # ledger rows: per-bucket row counts of what we just wrote
+        written = (
+            spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+        )
+        todo_buckets = {r["bucket"] for r in
+                        todo_files.select("bucket").distinct().collect()}
+        counts = {r["bucket"]: r["n"] for r in written.collect()}
+        rows = [(b, "xx", counts.get(b, 0), wall) for b in sorted(todo_buckets)]
+        ledger.commit("triples", rows)
+        metrics.buckets_processed = len(todo_buckets)
+        metrics.extract_errors = err_acc.value
+    metrics.wall_ms["triples"] = int((time.monotonic() - t0) * 1000)
+    return spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
+
+
+def run_graph_stage(
+    spark: SparkSession,
+    triples: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    salt: int = 0,
+    metrics: PipelineMetrics | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 2: link → canonicalize → materialize nodes/edges (F6 shape)."""
+    metrics = metrics or PipelineMetrics()
+    t0 = time.monotonic()
+
+    linked = link_triples(triples, alias_dict)
+    ids = (
+        linked.select(F.col("subject_id").alias("entity_id"),
+                      F.col("subject_canonical").alias("canonical_name"))
+        .unionByName(
+            linked.select(F.col("object_id").alias("entity_id"),
+                          F.col("object_canonical").alias("canonical_name")))
+        .distinct()
+    )
+    mapping = canonicalize_entities(ids, salt=salt).cache()
+
+    canonical = (
+        linked
+        .join(mapping.withColumnRenamed("entity_id", "subject_id")
+                     .withColumnRenamed("canonical_id", "src"), "subject_id")
+        .join(mapping.withColumnRenamed("entity_id", "object_id")
+                     .withColumnRenamed("canonical_id", "dst"), "object_id")
+    )
+
+    edges = add_combined_degree(build_edges(canonical))
+    nodes = build_nodes(canonical)
+
+    write_partitioned(
+        nodes.withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
+        os.path.join(out_dir, NODES_DIR),
+    )
+    write_partitioned(
+        edges.withColumn("bucket", F.pmod(F.xxhash64("source"), F.lit(16)).cast("int")),
+        os.path.join(out_dir, EDGES_DIR),
+    )
+    mapping.write.mode("overwrite").parquet(os.path.join(out_dir, MAPPING_DIR))
+    metrics.wall_ms["graph"] = int((time.monotonic() - t0) * 1000)
+
+    return (
+        spark.read.parquet(os.path.join(out_dir, NODES_DIR)).drop("bucket"),
+        spark.read.parquet(os.path.join(out_dir, EDGES_DIR)).drop("bucket"),
+    )
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    repo_files: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    resume: bool = True,
+    salt: int = 0,
+) -> PipelineMetrics:
+    """End-to-end flagship run. Returns metrics; tables land under out_dir
+    (triples/, nodes/, edges/, entity_mapping/, _ledger/)."""
+    metrics = PipelineMetrics()
+    triples = run_triples_stage(
+        spark, repo_files, out_dir, n_buckets=n_buckets, resume=resume, metrics=metrics
+    )
+    metrics.triples_out = triples.count()
+    run_graph_stage(spark, triples, alias_dict, out_dir, salt=salt, metrics=metrics)
+    return metrics

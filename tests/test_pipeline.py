@@ -1,0 +1,118 @@
+"""End-to-end pipeline tests — graph table contracts, sha256 invariant
+through the full path, and kill/resume idempotence (FIXTURES.md F6/F8)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
+from deep_reason_spark.plans.kg_pipeline import (
+    run_graph_stage,
+    run_kg_pipeline,
+    run_triples_stage,
+)
+from deep_reason_spark.sources.checkpoint import CheckpointLedger
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "kg_out")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_end_to_end_graph_contract(spark, out_dir):
+    rf = generate_repo_files(spark, 120)
+    metrics = run_kg_pipeline(spark, rf, alias_dict_df(spark), out_dir, n_buckets=8)
+    assert metrics.triples_out > 100
+    assert metrics.extract_errors == 0
+
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    # F6 column contract
+    assert {"id", "title", "type", "description", "frequency", "degree"} <= set(nodes.columns)
+    assert {"id", "human_readable_id", "source", "target", "description",
+            "weight", "combined_degree", "text_unit_ids"} <= set(edges.columns)
+    # every edge endpoint is a node
+    n_ids = nodes.select(F.col("id").alias("source"))
+    assert edges.join(n_ids, "source", "left_anti").count() == 0
+    assert edges.join(n_ids.withColumnRenamed("source", "target"),
+                      "target", "left_anti").count() == 0
+    # canonicalization collapsed alias surfaces: one node titled Ada Lovelace,
+    # none titled bare "Ada"
+    titles = {r.title for r in nodes.select("title").collect()}
+    assert "Ada" not in titles
+
+
+def test_sha256_invariant_survives_pipeline(spark, out_dir):
+    rf = generate_repo_files(spark, 60).cache()
+    run_triples_stage(spark, rf, out_dir, n_buckets=4)
+    triples = spark.read.parquet(f"{out_dir}/triples")
+    expected = rf.select(
+        F.concat_ws(":", "repo", "path").alias("document_id"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+    mismatched = triples.select("document_id", "content_sha256").distinct().join(
+        expected, ["document_id", "content_sha256"], "left_anti"
+    )
+    assert mismatched.count() == 0
+
+
+def test_resume_after_partial_failure_is_idempotent(spark, out_dir, tmp_path):
+    """FIXTURES.md F8: run fully; then delete half the output buckets AND
+    their ledger rows (simulated mid-run kill); resume; final table equals
+    the single-run output exactly."""
+    import os
+
+    from deep_reason_spark.plans.kg_pipeline import PipelineMetrics
+    from deep_reason_spark.sources.checkpoint import bucket_col
+
+    rf = generate_repo_files(spark, 100).cache()
+    full = run_triples_stage(spark, rf, out_dir, n_buckets=8, resume=False)
+    baseline = full.toPandas().sort_values(
+        ["document_id", "order_id", "subject", "predicate", "object"]
+    ).reset_index(drop=True)
+
+    populated = sorted(
+        r[0] for r in rf.select(bucket_col("repo", 8).alias("b")).distinct().collect()
+    )
+    assert len(populated) >= 2
+    killed = populated[: len(populated) // 2]
+    survivors = populated[len(populated) // 2:]
+
+    # simulate kill: wipe the killed buckets' outputs and ALL ledger rows,
+    # then re-commit ledger rows only for the surviving buckets
+    ledger = CheckpointLedger(spark, out_dir)
+    for b in killed:
+        shutil.rmtree(os.path.join(out_dir, "triples", f"bucket={b}"),
+                      ignore_errors=True)
+    shutil.rmtree(ledger.path, ignore_errors=True)
+    ledger.commit("triples", [(b, "xx", 0, 0) for b in survivors])
+
+    metrics_holder = PipelineMetrics()
+    resumed = run_triples_stage(spark, rf, out_dir, n_buckets=8, resume=True,
+                                metrics=metrics_holder)
+    assert metrics_holder.buckets_skipped == len(survivors)
+    assert metrics_holder.buckets_processed == len(killed)
+
+    after = resumed.toPandas().sort_values(
+        ["document_id", "order_id", "subject", "predicate", "object"]
+    ).reset_index(drop=True)
+    assert len(after) == len(baseline)
+    assert (after.values == baseline.values).all()
+
+
+def test_second_run_is_noop(spark, out_dir):
+    from deep_reason_spark.plans.kg_pipeline import PipelineMetrics
+    from deep_reason_spark.sources.checkpoint import bucket_col
+
+    rf = generate_repo_files(spark, 40).cache()
+    populated = rf.select(bucket_col("repo", 4).alias("b")).distinct().count()
+    run_triples_stage(spark, rf, out_dir, n_buckets=4)
+    m = PipelineMetrics()
+    run_triples_stage(spark, rf, out_dir, n_buckets=4, metrics=m)
+    assert m.buckets_skipped == populated
+    assert m.buckets_processed == 0
