@@ -91,14 +91,30 @@ def connected_components(
     Isolated endpoints appear (every node seen in ``edges`` gets a label);
     callers union isolated nodes back with label = own id."""
     b = _canon_edges(edges, src, dst).localCheckpoint()
+    # node set derived from the checkpointed bidirectional set so the input
+    # plan is executed exactly once
+    nodes = b.select("u").distinct()
+    # data-adaptive parallelism: a CC iteration on a small (or shrinking)
+    # edge set must not pay 2×cores-worth of empty shuffle partitions; at
+    # 10^12 scale the same formula spreads ~1M edges per partition
+    n_edges = b.count()
+    if n_edges == 0:
+        return b.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    parts = max(1, min(512, n_edges // 1_000_000 + 1))
+    if b.rdd.getNumPartitions() > parts:
+        b = b.repartition(parts, "u").localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
         e1 = _large_star(b, salt).distinct()
         e2 = _small_star(e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
                          .where(F.col("u") != F.col("v")).distinct(), salt)
-        b2 = e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v"))).where(
-            F.col("u") != F.col("v")
-        ).distinct().localCheckpoint()  # truncate lineage each round
+        b2 = (
+            e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(parts, "u")
+            .localCheckpoint()  # truncate lineage each round
+        )
         sig = b2.agg(
             F.count("*").alias("n"),
             # decimal sum: overflow-proof under ANSI mode (Spark 4 default)
@@ -110,7 +126,6 @@ def connected_components(
         prev_sig = (sig["n"], sig["h"])
 
     # final state is a star forest pointing at component minima
-    nodes = _canon_edges(edges, src, dst).select("u").distinct()
     labels = _min_by_key(b, "u", "v", salt).select(
         F.col("u").alias("node"), F.col("_m").alias("component")
     )
@@ -166,6 +181,9 @@ def canonicalize_entities(
     edges = build_similarity_edges(linked_nodes, id_col, name_col, extra_edges)
     cc = connected_components(edges, salt=salt)
     all_ids = linked_nodes.select(F.col(id_col).alias("node")).distinct()
+    # cc is consulted once per downstream reference; labels are
+    # entity-scale (small), so materialize them once
+    cc = cc.localCheckpoint()
     return (
         all_ids.join(cc, "node", "left")
         .select(

@@ -47,6 +47,23 @@ def link_score(mention: pd.Series, canonical: pd.Series, prior: pd.Series) -> pd
     return (prior.astype("float64").fillna(0.0) + affinity).astype("float64")
 
 
+def link_score_col(mention, canonical, prior):
+    """JVM-native column version of the scoring formula (same semantics as
+    the pandas UDF) — used on the dictionary side so dictionary prep never
+    spins up Python workers."""
+    m = F.lower(mention)
+    c = F.lower(canonical)
+    exact = F.when(m == c, F.lit(1.0)).otherwise(F.lit(0.0))
+    prefix = (
+        F.when(
+            (F.length(m) > 0) & c.startswith(m),
+            F.length(m).cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    affinity = F.when(exact == 1.0, F.lit(1.0)).otherwise(prefix)
+    return F.coalesce(prior.cast("double"), F.lit(0.0)) + affinity
+
+
 def resolve_alias_dict(alias_dict: DataFrame) -> DataFrame:
     """Collapse the dictionary to one best candidate per normalized key.
 
@@ -56,7 +73,9 @@ def resolve_alias_dict(alias_dict: DataFrame) -> DataFrame:
     keyed = alias_dict.select(
         F.lower(F.col("alias")).alias("_k"),
         "alias", "entity_id", "canonical_name", "prior",
-    ).withColumn("_s", link_score(F.col("alias"), F.col("canonical_name"), F.col("prior")))
+    ).withColumn(
+        "_s", link_score_col(F.col("alias"), F.col("canonical_name"), F.col("prior"))
+    )
     w = Window.partitionBy("_k").orderBy(F.desc("_s"), F.asc("entity_id"))
     return (
         keyed.withColumn("_rn", F.row_number().over(w))
@@ -101,7 +120,9 @@ def link_triples(triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
     Adds subject_id/subject_canonical/object_id/object_canonical (+ linked
     flags); unknown surfaces get deterministic ``unk-<md5>`` ids so
     downstream canonicalization still sees them as nodes."""
-    resolved = resolve_alias_dict(alias_dict)
+    # materialize the resolved dict once (dictionary-scale) so the two
+    # broadcast builds below don't each re-execute its plan
+    resolved = resolve_alias_dict(alias_dict).localCheckpoint()
 
     def side(col: str) -> DataFrame:
         suffixed = resolved.select(

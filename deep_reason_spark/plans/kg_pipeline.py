@@ -82,7 +82,12 @@ def run_triples_stage(
 
     t0 = time.monotonic()
     err_acc = spark.sparkContext.accumulator(0)
-    if todo_files.limit(1).count() > 0:
+    # one column-pruned scan decides the work list (parquet/Iceberg reads
+    # only `repo` here, not `content`)
+    todo_buckets = sorted(
+        r["bucket"] for r in todo_files.select("bucket").distinct().collect()
+    )
+    if todo_buckets:
         chunks = chunk_repo_files(todo_files.drop("bucket"))
         triples = extract_triples(chunks, error_acc=err_acc).withColumn(
             "bucket", bucket_col("repo", n_buckets)
@@ -94,10 +99,8 @@ def run_triples_stage(
             spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
             .groupBy("bucket").agg(F.count("*").alias("n"))
         )
-        todo_buckets = {r["bucket"] for r in
-                        todo_files.select("bucket").distinct().collect()}
         counts = {r["bucket"]: r["n"] for r in written.collect()}
-        rows = [(b, "xx", counts.get(b, 0), wall) for b in sorted(todo_buckets)]
+        rows = [(b, "xx", counts.get(b, 0), wall) for b in todo_buckets]
         ledger.commit("triples", rows)
         metrics.buckets_processed = len(todo_buckets)
         metrics.extract_errors = err_acc.value
@@ -118,6 +121,9 @@ def run_graph_stage(
     t0 = time.monotonic()
 
     linked = link_triples(triples, alias_dict)
+    # entity-scale intermediates are materialized ONCE (localCheckpoint) —
+    # every downstream consumer would otherwise re-execute the whole
+    # upstream plan; on a cluster these would be persisted stage tables
     ids = (
         linked.select(F.col("subject_id").alias("entity_id"),
                       F.col("subject_canonical").alias("canonical_name"))
@@ -125,18 +131,25 @@ def run_graph_stage(
             linked.select(F.col("object_id").alias("entity_id"),
                           F.col("object_canonical").alias("canonical_name")))
         .distinct()
+        .localCheckpoint()
     )
-    mapping = canonicalize_entities(ids, salt=salt).cache()
+    mapping = canonicalize_entities(ids, salt=salt).localCheckpoint()
 
+    # broadcast the canonical-id map only while it is dictionary-sized;
+    # beyond that it must shuffle (a 10^9-entity map cannot live on every
+    # executor) — AQE then handles any hub-entity skew in the join
+    hint = F.broadcast if mapping.count() <= 5_000_000 else (lambda df: df)
     canonical = (
         linked
-        .join(mapping.withColumnRenamed("entity_id", "subject_id")
-                     .withColumnRenamed("canonical_id", "src"), "subject_id")
-        .join(mapping.withColumnRenamed("entity_id", "object_id")
-                     .withColumnRenamed("canonical_id", "dst"), "object_id")
+        .join(hint(mapping.withColumnRenamed("entity_id", "subject_id")
+                   .withColumnRenamed("canonical_id", "src")), "subject_id")
+        .join(hint(mapping.withColumnRenamed("entity_id", "object_id")
+                   .withColumnRenamed("canonical_id", "dst")), "object_id")
+        .localCheckpoint()  # scanned by edge build, degree, and node build
     )
 
-    edges = add_combined_degree(build_edges(canonical))
+    edge_agg = build_edges(canonical).localCheckpoint()  # reused 3× by degree calc
+    edges = add_combined_degree(edge_agg)
     nodes = build_nodes(canonical)
 
     write_partitioned(

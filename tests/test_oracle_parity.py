@@ -1,0 +1,33 @@
+"""Replica of the driver's correctness gate: every queries() entry must
+match its oracle_sql() DuckDB result exactly (columns sorted by name, rows
+sorted by all columns, values equal) at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from deep_reason_spark.oracle_check import run_parity
+from deep_reason_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registry_consistency():
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 30
+    assert entrymod.queries().keys() == QUERIES.keys()
+    assert entrymod.oracle_sql().keys() == ORACLES.keys()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"predicate", "n_triples", "n_subjects"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    res = run_parity(spark, SF_DIR, [name])
+    assert res[name] == [], f"{name}: {res[name][:3]}"
