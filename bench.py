@@ -120,26 +120,72 @@ def run_bench(cpus: str, sf_dir: str, kg_files: int, include_queries: bool = Tru
     }
 
 
+SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "1000000"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))  # N and 4N cores
+
+
+def run_triples_only(cpus: str, corpus_dir: str) -> dict:
+    """One extraction-stage run (chunk → extract → checkpointed write) in a
+    fresh JVM: the corpus-scale job of the north rule's triples/sec metric."""
+    from deep_reason_spark.plans.kg_pipeline import run_triples_stage
+    from deep_reason_spark.session import get_spark
+
+    out = tempfile.mkdtemp(prefix="kg_scaling_")
+    spark = get_spark(app_name="scaling", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = spark.read.parquet(corpus_dir)
+        t0 = time.monotonic()
+        triples = run_triples_stage(spark, corpus, out, n_buckets=64, resume=False)
+        n = triples.count()
+        wall = time.monotonic() - t0
+        return {"cores": int(cpus), "wall_sec": round(wall, 2),
+                "triples": n, "triples_per_sec": round(n / wall, 1)}
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_scaling() -> dict:
-    """Same KG job at local[8] vs local[32]; efficiency = (T8/T32)/4."""
-    results = {}
-    for cpus in ("8", "32"):
-        out = subprocess.run(
-            [sys.executable, __file__, "--kg-only"],
-            env={**os.environ, "SPARK_GRAFT_CPUS": cpus},
-            capture_output=True, text=True, check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8 = results["8"]["kg_triples_per_sec"]
-    t32 = results["32"]["kg_triples_per_sec"]
-    return {
-        "metric": "kg pipeline scaling local[8] -> local[32]",
-        "throughput_local8_triples_per_sec": t8,
-        "throughput_local32_triples_per_sec": t32,
-        "speedup": round(t32 / t8, 3),
-        "scaling_efficiency": round(t32 / t8 / 4.0, 3),
-        "kg_files": results["32"]["kg_files"],
-    }
+    """North-rule scaling evidence: the SAME extraction job on the SAME
+    input at N and 4N cores (sandbox stand-in for N vs 4N executors).
+
+    N=4 by default: this VM's effective parallel capacity saturates near
+    ~20 threads for string-heavy work, so 8→32 measures machine saturation,
+    not the engine (see BASELINE.md)."""
+    from deep_reason_spark.datagen import generate_repo_files
+    from deep_reason_spark.session import get_spark
+
+    base = tempfile.mkdtemp(prefix="kg_scaling_corpus_")
+    corpus_dir = os.path.join(base, "corpus")
+    try:
+        spark = get_spark(app_name="scaling-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        generate_repo_files(spark, SCALE_FILES, partitions=256).write.parquet(corpus_dir)
+        spark.stop()
+
+        results = {}
+        for cpus in (str(SCALE_N), str(4 * SCALE_N)):
+            out = subprocess.run(
+                [sys.executable, __file__, "--triples-only", corpus_dir],
+                env={**os.environ, "SPARK_GRAFT_CPUS": cpus},
+                capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        lo, hi = results[str(SCALE_N)], results[str(4 * SCALE_N)]
+        return {
+            "metric": f"extraction-stage scaling local[{SCALE_N}] -> local[{4 * SCALE_N}]",
+            "input_files": SCALE_FILES,
+            "low": lo,
+            "high": hi,
+            "speedup": round(hi["triples_per_sec"] / lo["triples_per_sec"], 3),
+            "scaling_efficiency": round(
+                hi["triples_per_sec"] / lo["triples_per_sec"] / 4.0, 3
+            ),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
@@ -147,6 +193,8 @@ if __name__ == "__main__":
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--triples-only" in sys.argv:
+        print(json.dumps(run_triples_only(cpus, sys.argv[sys.argv.index("--triples-only") + 1])))
     elif "--kg-only" in sys.argv:
         print(json.dumps(run_bench(cpus, sf_dir, KG_BENCH_FILES, include_queries=False)))
     else:

@@ -77,14 +77,19 @@ def _build_file(file_id: int, n_files: int) -> tuple[dict[str, Any], list[dict[s
         return row, []
 
     document_id = f"{repo}:{path}"
-    n_par = 1 + det_int("npar", file_id) % 5
+    # ~3 KB/file (source-file scale): 3-10 paragraphs × 4-10 sentences,
+    # except a band of small files (1-2 paragraphs) for edge-case coverage
+    small = det_int("small", file_id) % 10 == 0
+    n_par = (1 + det_int("npar", file_id) % 2) if small \
+        else (3 + det_int("npar", file_id) % 8)
     paragraphs: list[str] = []
     triples: list[dict[str, Any]] = []
     # person first-token -> (canonical, paragraph index of last FULL mention)
     full_mentions: dict[str, tuple[str, int]] = {}
 
     for p in range(n_par):
-        n_sent = 1 + det_int("nsent", file_id, p) % 3
+        n_sent = (1 + det_int("nsent", file_id, p) % 2) if small \
+            else (4 + det_int("nsent", file_id, p) % 7)
         sentences: list[str] = []
         for s in range(n_sent):
             kind = det_int("kind", file_id, p, s) % 10

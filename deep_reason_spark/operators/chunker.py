@@ -9,18 +9,19 @@ Reference semantics reproduced (SURVEY.md §2.5 W1/W2):
   through every downstream row (BASELINE.json input_hint; the reference
   keys its cache on a content hash, ``kg_agent/utils.py:101-114``).
 
-Spark-first design: the whole stage is Catalyst-planned — a split +
-posexplode (no Python), then ONE window over ``(document_id, order_id)``.
-The input is explicitly repartitioned by ``repo`` first so (a) a repo's
-files are co-located, (b) the window shuffle is the only shuffle, and
-(c) partition checkpoints align with input slices (SURVEY.md §4 item 3).
-At 10^12 files this stage is embarrassingly parallel: no driver state,
-no skewed key (documents are the window key, and no document is large).
+Spark-first design — ZERO-SHUFFLE chunking: a document is one input row, so
+its ordered chunk list and every chunk's left/right neighbor are derived
+*inside the row* with array expressions (split → per-paragraph oversize
+slicing → flatten → posexplode, neighbors via try_element_at). No window,
+no shuffle, no partition-boundary hazard (SURVEY.md §7 hard-part (c) is
+eliminated rather than guarded). At 10^12 files the stage is a pure map
+over the file scan; the only shuffle in the whole extraction path is the
+optional up-front repartition that aligns tasks with checkpoint buckets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Paragraph separator: blank line. The reference's corpus loaders treat one
@@ -34,54 +35,51 @@ CHUNK_COLUMNS = [
 ]
 
 
+def _pieces_expr(max_chunk_chars: int) -> str:
+    """SQL expression: content → ordered array of chunk texts.
+
+    Paragraph split, empties dropped, oversized paragraphs hard-split into
+    ≤ max_chunk_chars slices (the reference baseline truncates at its
+    20 000-char merge cap, ``baseline/langchain_baseline.py:53``; we split
+    losslessly instead)."""
+    return f"""
+    flatten(transform(
+      filter(split(content, '{PARAGRAPH_SEP}'), p -> length(trim(p)) > 0),
+      p -> transform(
+             sequence(0, cast(ceil(length(p) / {max_chunk_chars}.0) as int) - 1),
+             i -> substring(p, i * {max_chunk_chars} + 1, {max_chunk_chars}))
+    ))
+    """
+
+
 def chunk_repo_files(
     repo_files: DataFrame,
     max_chunk_chars: int = 20000,
-    repartition_by_repo: bool = True,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """repo_files(repo, path, commit, lang, content) → chunks (FIXTURES.md F2).
 
-    ``max_chunk_chars`` mirrors the reference baseline's 20 000-char merge
-    cap (``baseline/langchain_baseline.py:53``): oversized paragraphs are
-    hard-split so no single chunk exceeds the budget (the reference
-    truncates; we keep the data and split, which is strictly lossless).
-    """
-    df = repo_files
-    if repartition_by_repo:
-        # Explicit co-location by repo hash (north rule). Spark's hash
-        # partitioning on the column IS hash(repo) → pmod(numPartitions).
-        df = df.repartition(*( [num_partitions] if num_partitions else [] ), "repo")
-
-    df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-
-    # paragraph split → ordered chunks; all JVM-side (split/posexplode),
-    # then a second-level hard split of oversized paragraphs.
-    para = df.select(
+    Shuffle-free: callers that want bucket-aligned output repartition the
+    *input* (one shuffle of raw files) and this stage preserves it."""
+    df = repo_files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    with_pieces = df.select(
         "repo", "path", "commit", "lang", "content_sha256",
         F.concat_ws(":", "repo", "path").alias("document_id"),
-        F.posexplode(F.split(F.col("content"), PARAGRAPH_SEP)).alias("para_id", "para"),
-    ).where(F.length(F.trim(F.col("para"))) > 0)
-
-    # hard-split long paragraphs into <= max_chunk_chars slices
-    n_slices = F.greatest(
-        F.lit(1), F.ceil(F.length("para") / F.lit(max_chunk_chars)).cast("int")
+        F.try_element_at(F.split(F.col("path"), "/"), F.lit(-2)).alias("chapter_name"),
+        F.expr(_pieces_expr(max_chunk_chars)).alias("_pieces"),
     )
-    sliced = para.select(
-        "repo", "path", "commit", "lang", "content_sha256", "document_id", "para_id",
-        F.explode(F.sequence(F.lit(0), n_slices - 1)).alias("slice_id"),
-        "para",
-    ).withColumn(
+    exploded = with_pieces.select(
+        "*", F.posexplode("_pieces").alias("order_id", "text")
+    )
+    return exploded.select(
+        "document_id",
+        F.col("order_id").cast("int").alias("order_id"),
+        "chapter_name",
         "text",
-        F.expr(f"substring(para, slice_id * {max_chunk_chars} + 1, {max_chunk_chars})"),
-    ).drop("para")
-
-    w = Window.partitionBy("document_id").orderBy("para_id", "slice_id")
-    chunks = (
-        sliced
-        .withColumn("order_id", (F.row_number().over(w) - 1).cast("int"))
-        .withColumn("left_text", F.lag("text", 1).over(w))
-        .withColumn("right_text", F.lead("text", 1).over(w))
-        .withColumn("chapter_name", F.try_element_at(F.split(F.col("path"), "/"), F.lit(-2)))
+        # neighbors are intra-row lookups (1-based try_element_at; index 0
+        # is invalid even for the try_ variant, hence the guard)
+        F.expr(
+            "CASE WHEN order_id >= 1 THEN try_element_at(_pieces, order_id) END"
+        ).alias("left_text"),
+        F.expr("try_element_at(_pieces, order_id + 2)").alias("right_text"),
+        "repo", "path", "commit", "lang", "content_sha256",
     )
-    return chunks.select(*CHUNK_COLUMNS)

@@ -72,11 +72,25 @@ def _resolve(name: str, canon: dict[str, str]) -> str:
     return name
 
 
-def extract_from_text(text: str, left_text: str | None = None) -> list[tuple[str, str, str]]:
-    """Pure extraction for one chunk. Exposed for unit tests."""
-    context = (left_text or "") + "\n" + (text or "")
+def extract_from_text(
+    text: str,
+    left_text: str | None = None,
+    context_entities=None,
+) -> list[tuple[str, str, str]]:
+    """Pure extraction for one chunk. Exposed for unit tests.
+
+    ``context_entities``: pre-extracted multi-token entities from the left
+    neighbor (the JVM does that regex); ``left_text`` remains accepted for
+    direct use."""
     canon: dict[str, str] = {}
-    for m in _MULTI_ENT.finditer(context):
+    if context_entities is not None:
+        for full in context_entities:
+            canon[full.split(" ")[0]] = full
+    if left_text:
+        for m in _MULTI_ENT.finditer(left_text):
+            full = m.group(1)
+            canon[full.split(" ")[0]] = full
+    for m in _MULTI_ENT.finditer(text or ""):
         full = m.group(1)
         canon[full.split(" ")[0]] = full
 
@@ -112,30 +126,48 @@ def extract_triples(chunks: DataFrame, error_acc=None) -> DataFrame:
 
     ``error_acc``: optional Spark accumulator counting chunks whose
     extraction raised (reference drops-and-logs, kg_agent/chains.py:286-292).
-    """
-    cols = ["text", "left_text", "document_id", "order_id", "repo", "path",
+
+    Arrow-volume discipline: the left context is reduced JVM-side to just
+    its multi-token entity mentions (``left_entities``) before crossing into
+    Python — alias resolution only consumes those (kg_prompts.py:25,42), so
+    shipping the full neighbor text would double the Arrow transfer for
+    nothing."""
+    cols = ["text", "document_id", "order_id", "repo", "path",
             "commit", "content_sha256"]
     out_cols = ["subject", "predicate", "object", "document_id", "order_id",
                 "repo", "path", "commit", "content_sha256"]
+    multi_ent = r"([A-Z][a-z]+(?: [A-Z][a-z]+)+)"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[tuple] = []
-            for text, left, doc, oid, repo, path, commit, sha in zip(
-                pdf["text"], pdf["left_text"], pdf["document_id"], pdf["order_id"],
-                pdf["repo"], pdf["path"], pdf["commit"], pdf["content_sha256"]
+            data: dict[str, list] = {c: [] for c in out_cols}
+            app = {c: data[c].append for c in out_cols}
+            for text, left_ents, doc, oid, repo, path, commit, sha in zip(
+                pdf["text"], pdf["left_entities"], pdf["document_id"],
+                pdf["order_id"], pdf["repo"], pdf["path"], pdf["commit"],
+                pdf["content_sha256"],
             ):
                 try:
-                    triples = extract_from_text(text, left)
+                    triples = extract_from_text(text, context_entities=left_ents)
                 except Exception:  # row-level isolation, never fatal
                     if error_acc is not None:
                         error_acc.add(1)
                     continue
+                oid = int(oid)
                 for s, p, o in triples:
-                    rows.append((s, p, o, doc, int(oid), repo, path, commit, sha))
-            yield pd.DataFrame(rows, columns=out_cols)
+                    app["subject"](s); app["predicate"](p); app["object"](o)
+                    app["document_id"](doc); app["order_id"](oid)
+                    app["repo"](repo); app["path"](path); app["commit"](commit)
+                    app["content_sha256"](sha)
+            yield pd.DataFrame(data, columns=out_cols)
 
-    return chunks.select(*cols).mapInPandas(run, TRIPLES_SCHEMA)
+    prepared = chunks.select(
+        *cols,
+        F.expr(
+            f"regexp_extract_all(coalesce(left_text, ''), '{multi_ent}', 1)"
+        ).alias("left_entities"),
+    )
+    return prepared.mapInPandas(run, TRIPLES_SCHEMA)
 
 
 def detect_mentions(chunks: DataFrame) -> DataFrame:

@@ -25,22 +25,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+MAX_TEXT_UNITS = 100  # provenance sample cap per edge
+
+
 def build_edges(canonical_triples: DataFrame) -> DataFrame:
     """(subject_canonical_id, predicate, object_canonical_id, provenance)
     → edges table (F6): one row per (source, target, predicate) with weight
-    = supporting-triple count and provenance chunk list."""
-    agg = (
-        canonical_triples.groupBy("src", "dst", "predicate")
-        .agg(
-            F.count("*").alias("weight_cnt"),
-            F.array_sort(
-                F.array_distinct(
-                    F.collect_list(F.concat_ws("#", "document_id", "order_id"))
-                )
-            ).alias("text_unit_ids"),
-            F.min("subject_canonical").alias("source_name"),
-            F.min("object_canonical").alias("target_name"),
-        )
+    = supporting-triple count and a BOUNDED provenance sample.
+
+    An unbounded collect_list of supporting chunks dies on hot edges (an
+    edge seen in 10^7 chunks would collect 10^7 strings into one executor
+    row); provenance is therefore rank-filtered to the first
+    ``MAX_TEXT_UNITS`` units per edge BEFORE the final aggregation, while
+    ``weight`` still counts every supporting triple."""
+    from pyspark.sql import Window
+
+    keyed = canonical_triples.select(
+        "src", "dst", "predicate", "subject_canonical", "object_canonical",
+        F.concat_ws("#", "document_id", "order_id").alias("_tu"),
+    )
+    # ONE full shuffle: rank + total count in the same window partition,
+    # then aggregate only the surviving ≤ MAX_TEXT_UNITS rows per edge
+    wp = Window.partitionBy("src", "dst", "predicate")
+    w = wp.orderBy("_tu", "subject_canonical", "object_canonical")
+    ranked = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count("*").over(wp))
+        .where(F.col("_rn") <= MAX_TEXT_UNITS)
+    )
+    agg = ranked.groupBy("src", "dst", "predicate").agg(
+        F.max("_cnt").alias("weight_cnt"),
+        F.min("subject_canonical").alias("source_name"),
+        F.min("object_canonical").alias("target_name"),
+        F.array_sort(F.array_distinct(F.collect_list("_tu"))).alias("text_unit_ids"),
     )
     return agg.select(
         F.md5(F.concat_ws("|", "src", "predicate", "dst")).alias("id"),
@@ -91,7 +108,10 @@ def build_nodes(canonical_triples: DataFrame, entity_types: DataFrame | None = N
     both = as_subject.unionByName(as_object)
     nodes = both.groupBy("id").agg(
         F.max_by("name", F.length("name")).alias("title"),
-        F.concat_ws("; ", F.array_sort(F.array_distinct(F.collect_list("predicate"))))
+        # collect_set, not collect_list: map-side partial aggregation keeps
+        # the per-group state at |distinct predicates|, not |rows| — a hub
+        # entity with 10^7 mentions must not buffer 10^7 strings
+        F.concat_ws("; ", F.array_sort(F.collect_set("predicate")))
             .alias("description"),
         F.count("*").alias("frequency"),
         F.count_distinct("nbr").alias("degree"),

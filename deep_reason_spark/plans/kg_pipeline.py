@@ -88,11 +88,27 @@ def run_triples_stage(
         r["bucket"] for r in todo_files.select("bucket").distinct().collect()
     )
     if todo_buckets:
-        chunks = chunk_repo_files(todo_files.drop("bucket"))
+        # ONE shuffle for the whole extraction path: raw file rows move to
+        # their checkpoint bucket; chunking (intra-row arrays), extraction
+        # (mapInPandas) and the partitioned write all preserve it.
+        # The path-salt keeps a hub repo's bucket from becoming a straggler
+        # task (≤ WRITE_SALT tasks and files per bucket).
+        WRITE_SALT = 8
+        aligned = (
+            todo_files
+            .withColumn("_wsalt", F.pmod(F.xxhash64("path"), F.lit(WRITE_SALT)))
+            # explicit n_buckets×salt partitions: extraction runs fused into
+            # this post-shuffle stage, so its task granularity must be fine
+            # enough to balance at any core count (2×cores default partitions
+            # leave whole waves idle behind the largest task)
+            .repartition(n_buckets * WRITE_SALT, "bucket", "_wsalt")
+            .drop("_wsalt")
+        )
+        chunks = chunk_repo_files(aligned.drop("bucket"))
         triples = extract_triples(chunks, error_acc=err_acc).withColumn(
             "bucket", bucket_col("repo", n_buckets)
         )
-        write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR))
+        write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR), align=False)
         wall = int((time.monotonic() - t0) * 1000)
         # ledger rows: per-bucket row counts of what we just wrote
         written = (
@@ -145,7 +161,11 @@ def run_graph_stage(
                    .withColumnRenamed("canonical_id", "src")), "subject_id")
         .join(hint(mapping.withColumnRenamed("entity_id", "object_id")
                    .withColumnRenamed("canonical_id", "dst")), "object_id")
-        .localCheckpoint()  # scanned by edge build, degree, and node build
+        # deliberately NOT persisted: each consumer (edge build, node build)
+        # re-derives it from the triples parquet, and Catalyst prunes the
+        # scan to exactly the columns that consumer needs — re-reading a
+        # pruned columnar scan is cheaper than materializing 10^7+ wide
+        # rows to storage and reading them back whole
     )
 
     edge_agg = build_edges(canonical).localCheckpoint()  # reused 3× by degree calc

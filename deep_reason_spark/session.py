@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 4 MB split size: local corpora are small and well-compressed, and
+        # a scan must fan out to strictly more tasks than cores (at 128 MB a
+        # 350 MB corpus becomes 3 tasks and caps utilization at ~10%);
+        # cluster deploys override this at spark-submit time where 128 MB+
+        # is appropriate
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

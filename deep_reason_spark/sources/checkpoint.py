@@ -69,11 +69,22 @@ class CheckpointLedger:
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
 
-def write_partitioned(df: DataFrame, path: str, partition_col: str = "bucket") -> None:
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "bucket", align: bool = True
+) -> None:
     """Idempotent per-bucket write: dynamic partition overwrite replaces only
-    the buckets present in ``df`` (re-runs of a bucket are exactly-once)."""
+    the buckets present in ``df`` (re-runs of a bucket are exactly-once).
+
+    ``align=True`` hash-repartitions on the partition column first so each
+    task owns whole buckets — without that, every task can emit a file into
+    every bucket (tasks × buckets small files: 4096 for a 64×64 local run,
+    millions on a cluster) and the commit protocol becomes the bottleneck.
+    Pass ``align=False`` when the frame is ALREADY bucket-aligned (e.g. the
+    extraction path repartitions its input once, before chunking) to avoid
+    shuffling the data a second time."""
+    out = df.repartition(partition_col) if align else df
     (
-        df.write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)

@@ -38,29 +38,36 @@ PEOPLE = [
     "Tony Hoare",
 ]
 
-ORGS = [
-    "Acme Labs",
-    "Globex Corp",
-    "Initech Systems",
-    "Umbrella Works",
-    "Hooli Research",
-    "Vandelay Industries",
-    "Wayne Enterprises",
-    "Stark Industries",
+_ORG_A = [
+    "Acme", "Globex", "Initech", "Umbrella", "Hooli", "Vandelay", "Wayne",
+    "Stark", "Tyrell", "Cyberdyne", "Wonka", "Soylent", "Oscorp", "Gringotts",
+    "Monarch", "Aperture", "Rekall", "Weyland", "Zorin", "Duff",
 ]
+_ORG_B = ["Labs", "Corp", "Systems", "Works", "Research", "Industries",
+          "Enterprises", "Holdings", "Partners", "Group"]
+ORGS = [f"{a} {b}" for a in _ORG_A for b in _ORG_B[:3]]  # 60 unique names
 
-PROJECTS = [
-    "Query Engine",      # the planted HUB entity (skew path, FIXTURES.md F1)
-    "Vector Store",
-    "Stream Router",
-    "Graph Kernel",
-    "Parser Toolkit",
-    "Cache Layer",
-    "Build System",
-    "Data Plane",
-    "Shuffle Service",
-    "Metrics Agent",
+# Projects: a generated two-token name space (25 × 40 = 1000 names + the
+# curated ones) so synthetic graphs have realistic entity cardinality —
+# with a handful of entities every edge aggregate degenerates into one
+# giant hot group, which is neither realistic nor a fair benchmark.
+_PROJ_A = [
+    "Query", "Vector", "Stream", "Graph", "Parser", "Cache", "Build", "Data",
+    "Shuffle", "Metrics", "Index", "Lexer", "Planner", "Storage", "Compute",
+    "Session", "Schema", "Token", "Buffer", "Batch", "Merge", "Columnar",
+    "Adaptive", "Lineage", "Catalog",
 ]
+_PROJ_B = [
+    "Engine", "Store", "Router", "Kernel", "Toolkit", "Layer", "System",
+    "Plane", "Service", "Agent", "Runtime", "Manager", "Daemon", "Worker",
+    "Bridge", "Gateway", "Fabric", "Mesh", "Core", "Stack", "Pipeline",
+    "Registry", "Broker", "Scheduler", "Optimizer", "Compiler", "Tracker",
+    "Monitor", "Balancer", "Resolver", "Executor", "Allocator", "Encoder",
+    "Decoder", "Sampler", "Profiler", "Validator", "Formatter", "Loader",
+    "Writer",
+]
+PROJECTS = [f"{a} {b}" for a in _PROJ_A for b in _PROJ_B]  # 1000 names;
+# "Query Engine" (index 0) is the planted HUB entity (skew path, F1)
 
 PLACES = [
     "London",
