@@ -195,3 +195,10 @@ def alias_dict_df(spark):
     return spark.createDataFrame(
         vocab.alias_rows(), "alias string, entity_id string, canonical_name string, prior double"
     )
+
+
+def entity_types_df(spark):
+    """(entity_id, type) typing dictionary for ontology construction."""
+    return spark.createDataFrame(
+        vocab.entity_type_rows(), "entity_id string, type string"
+    )

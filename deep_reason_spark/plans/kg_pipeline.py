@@ -34,6 +34,7 @@ from deep_reason_spark.operators.chunker import chunk_repo_files
 from deep_reason_spark.operators.extractor import extract_triples
 from deep_reason_spark.operators.graph import add_combined_degree, build_edges, build_nodes
 from deep_reason_spark.operators.linking import link_triples
+from deep_reason_spark.operators.ontology import build_kg_structure, build_ontology
 from deep_reason_spark.sources.checkpoint import (
     CheckpointLedger,
     bucket_col,
@@ -131,8 +132,12 @@ def run_graph_stage(
     out_dir: str,
     salt: int = 0,
     metrics: PipelineMetrics | None = None,
+    entity_types: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Stage 2: link → canonicalize → materialize nodes/edges (F6 shape)."""
+    """Stage 2: link → canonicalize → ontology → materialize graph tables.
+
+    Collapses the reference's ontology_refining + kg_refining stages
+    (kg_agent/agent.py:64-140) into order-free dataflow (§7 hard-part (d))."""
     metrics = metrics or PipelineMetrics()
     t0 = time.monotonic()
 
@@ -170,7 +175,27 @@ def run_graph_stage(
 
     edge_agg = build_edges(canonical).localCheckpoint()  # reused 3× by degree calc
     edges = add_combined_degree(edge_agg)
-    nodes = build_nodes(canonical)
+
+    # ontology (entity/relation classes + connections) and typed nodes
+    if entity_types is None:
+        entity_types = spark.createDataFrame([], "entity_id string, type string")
+    onodes, orels, oconns = build_ontology(linked, entity_types)
+    orels = orels.localCheckpoint()  # tiny; referenced by connections + kg
+    canonical_types = mapping.join(
+        F.broadcast(entity_types), "entity_id", "left"
+    ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
+        F.col("type").isNotNull()
+    )
+    nodes = build_nodes(canonical, entity_types=canonical_types)
+    kg_nodes, kg_triplets = build_kg_structure(canonical, canonical_types
+                                               .withColumnRenamed("canonical_id",
+                                                                  "entity_id"),
+                                               orels)
+
+    for name, df in [("ontology_nodes", onodes), ("ontology_relations", orels),
+                     ("ontology_connections", oconns), ("kg_nodes", kg_nodes),
+                     ("kg_triplets", kg_triplets)]:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
     write_partitioned(
         nodes.withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
@@ -197,13 +222,15 @@ def run_kg_pipeline(
     n_buckets: int = 32,
     resume: bool = True,
     salt: int = 0,
+    entity_types: DataFrame | None = None,
 ) -> PipelineMetrics:
     """End-to-end flagship run. Returns metrics; tables land under out_dir
-    (triples/, nodes/, edges/, entity_mapping/, _ledger/)."""
+    (triples/, nodes/, edges/, entity_mapping/, ontology_*/, kg_*/, _ledger/)."""
     metrics = PipelineMetrics()
     triples = run_triples_stage(
         spark, repo_files, out_dir, n_buckets=n_buckets, resume=resume, metrics=metrics
     )
     metrics.triples_out = triples.count()
-    run_graph_stage(spark, triples, alias_dict, out_dir, salt=salt, metrics=metrics)
+    run_graph_stage(spark, triples, alias_dict, out_dir, salt=salt,
+                    metrics=metrics, entity_types=entity_types)
     return metrics

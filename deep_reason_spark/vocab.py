@@ -138,6 +138,20 @@ def det_int(*parts: object) -> int:
     return int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big")
 
 
+ENTITY_TYPES = {"PEOPLE": "person", "ORGS": "organization",
+                "PROJECTS": "project", "PLACES": "place"}
+
+
+def entity_type_rows() -> list[tuple[str, str]]:
+    """(entity_id, type) rows — the typing dictionary for ontology
+    construction (entity classes, kg_agent/schemes.py:25-27)."""
+    rows: list[tuple[str, str]] = []
+    for pool, tname in ENTITY_TYPES.items():
+        for name in POOLS[pool]:
+            rows.append((entity_id(name), tname))
+    return rows
+
+
 def alias_rows() -> list[tuple[str, str, str, float]]:
     """(alias, entity_id, canonical_name, prior) rows for the broadcast
     alias dictionary (FIXTURES.md F3). Includes: the canonical form itself,

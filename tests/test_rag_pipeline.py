@@ -1,0 +1,105 @@
+"""RAG pipeline tests — branch semantics, rerank threshold, budget packing,
+anti-join resume (reference topology rag/pipeline.py:122-200)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_reason_spark.plans.rag_pipeline import (
+    extract_keywords,
+    fulltext_branch,
+    join_branches,
+    pack_context,
+    rerank,
+    run_rag_pipeline,
+    vector_branch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _questions(spark):
+    return spark.createDataFrame(
+        [(1, "where is the spark table query"), (2, "vector stream data")],
+        "question_id int, question string",
+    )
+
+
+def test_keywords_deduped_and_stopword_free(spark):
+    kw = extract_keywords(_questions(spark)).collect()
+    by_q = {}
+    for r in kw:
+        by_q.setdefault(r.question_id, []).append(r.keyword)
+    assert sorted(by_q[1]) == ["query", "spark", "table", "where"]  # no 'the'/'is'
+    assert len(by_q[1]) == len(set(by_q[1]))
+
+
+def test_fulltext_branch_topk(spark, docs):
+    out = fulltext_branch(_questions(spark), docs).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.question_id, []).append(r.doc_id)
+    for q, ids in per_q.items():
+        assert len(ids) <= 3  # retrieving_top_k=3, rag/pipeline.py:97
+        assert len(ids) == len(set(ids))
+
+
+def test_vector_branch_self_retrieval(spark, emb):
+    # a question whose vector IS doc 5's embedding must retrieve doc 5 first
+    qvec = emb.where(F.col("vec_id") == 5).select(
+        F.lit(1).alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("question_vec"),
+    )
+    out = vector_branch(qvec, emb, top_k=1).collect()
+    assert out[0].doc_id == 5
+
+
+def test_rerank_threshold_and_scale(spark, docs):
+    qs = _questions(spark)
+    retrieved = join_branches(fulltext_branch(qs, docs),
+                              fulltext_branch(qs, docs))
+    scored = rerank(retrieved, qs, docs, keep_threshold=2.0)
+    rows = scored.collect()
+    assert all(r.rerank_score > 2.0 for r in rows)   # P5 filter
+    assert all(0 <= r.rerank_score <= 10 for r in rows)  # 0-10 scale
+
+
+def test_pack_context_budget(spark, docs):
+    qs = _questions(spark)
+    retrieved = join_branches(fulltext_branch(qs, docs), fulltext_branch(qs, docs))
+    packed = pack_context(rerank(retrieved, qs, docs), docs, char_budget=300)
+    assert packed.where(F.col("cum_chars") > 300).count() == 0
+
+
+def test_end_to_end_and_resume(spark, docs, emb):
+    qs = _questions(spark)
+    answers = run_rag_pipeline(qs, docs, embeddings=None)
+    rows = {r.question_id: r for r in answers.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_context_docs >= 1
+    assert "[src" in rows[1].answer_context  # provenance-prefixed fragments
+
+    # resume: question 1 already answered → only question 2 recomputed
+    answered = spark.createDataFrame([(1,)], "question_id int")
+    remaining = run_rag_pipeline(qs, docs, answered=answered)
+    assert [r.question_id for r in remaining.collect()] == [2]
+
+
+def test_two_branch_union_marks_sources(spark, docs, emb):
+    qs = _questions(spark).withColumn(
+        "question_vec",
+        F.expr("transform(sequence(1, 64), i -> cast(i as double) / 64)"),
+    )
+    answers = run_rag_pipeline(qs, docs, embeddings=emb)
+    assert answers.count() == 2
