@@ -111,13 +111,24 @@ def run_triples_stage(
         )
         write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR), align=False)
         wall = int((time.monotonic() - t0) * 1000)
+        # per-bucket input hash: (repo, path, commit) identifies the content
+        # version without re-reading content (the reference keys its cache
+        # on a hash of the serialized input, kg_agent/utils.py:101-114)
+        hashes = {
+            r["bucket"]: f"{r['h']}:{r['n']}"
+            for r in todo_files.groupBy("bucket").agg(
+                F.sum(F.xxhash64("repo", "path", "commit").cast("decimal(38,0)"))
+                .alias("h"),
+                F.count("*").alias("n"),
+            ).collect()
+        }
         # ledger rows: per-bucket row counts of what we just wrote
         written = (
             spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
             .groupBy("bucket").agg(F.count("*").alias("n"))
         )
         counts = {r["bucket"]: r["n"] for r in written.collect()}
-        rows = [(b, "xx", counts.get(b, 0), wall) for b in todo_buckets]
+        rows = [(b, hashes.get(b, ""), counts.get(b, 0), wall) for b in todo_buckets]
         ledger.commit("triples", rows)
         metrics.buckets_processed = len(todo_buckets)
         metrics.extract_errors = err_acc.value

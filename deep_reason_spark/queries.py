@@ -436,3 +436,8 @@ QUERIES.update(TEXT_QUERIES)
 ORACLES.update(TEXT_ORACLES)
 QUERIES.update(VECTOR_QUERIES)
 ORACLES.update(VECTOR_ORACLES)
+
+from deep_reason_spark.queries_extra import EXTRA_QUERIES, extra_oracles  # noqa: E402
+
+QUERIES.update(EXTRA_QUERIES)
+ORACLES.update(extra_oracles())

@@ -1,0 +1,307 @@
+"""Driver-contract queries, batch 4 — global-search map/reduce (A8),
+set-operation semantics (U2), reshape (P8), rolling-hash fingerprinting,
+embedding near-dup + IVF-cell ANN, and 2-hop path enumeration (G3).
+
+Same Spark↔DuckDB parity rules as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from deep_reason_spark.queries import load
+
+
+# ---------------------------------------------------------------------------
+# A8 — global-search map/reduce (query side): map = score points per
+# community batch (0-100), reduce = merge top-k ranked points
+# (prompts/graphrag_prompts/query/global_search_*_system_prompt.py)
+# ---------------------------------------------------------------------------
+
+def q_a8_global_search(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    # map phase: per (event_type, batch=user_id%8) score = bounded 0-100
+    mapped = (
+        e.withColumn("batch", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy("event_type", "batch")
+        .agg(
+            F.least(
+                F.round(F.avg(F.col("value").cast("decimal(18,4)")), 2), F.lit(100.0)
+            ).cast("double").alias("score"),
+            F.count("*").alias("support"),
+        )
+    )
+    # reduce phase: keep top-3 scored points per event_type
+    w = Window.partitionBy("event_type").orderBy(F.desc("score"), F.asc("batch"))
+    return (
+        mapped.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "batch", "score", "support",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_A8 = """
+WITH mapped AS (
+  SELECT event_type, user_id % 8 AS batch,
+         CAST(LEAST(ROUND(AVG(CAST(value AS DECIMAL(18,4))), 2), 100.0) AS DOUBLE) AS score,
+         COUNT(*) AS support
+  FROM events GROUP BY event_type, user_id % 8
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, batch ASC) AS rank
+  FROM mapped
+)
+SELECT event_type, batch, score, support, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# U2 — uniqueness up to reversal (gen_agent/sampling.py:140-144): undirected
+# pair dedup via least/greatest canonical key
+# ---------------------------------------------------------------------------
+
+def q_u2_undirected_dedup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.least("l_partkey", "l_suppkey").alias("lo"),
+        F.greatest("l_partkey", "l_suppkey").alias("hi"),
+    )
+    return pairs.groupBy("lo", "hi").agg(F.count("*").alias("n_occurrences"))
+
+
+ORACLE_U2 = """
+SELECT LEAST(l_partkey, l_suppkey) AS lo, GREATEST(l_partkey, l_suppkey) AS hi,
+       COUNT(*) AS n_occurrences
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8 — field rename / struct reshape (examples/dataset_conversion.py:60-82)
+# ---------------------------------------------------------------------------
+
+def q_p8_rename_reshape(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("Priority_Class"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice"), 0).cast("double").alias("price_rounded"),
+        ).alias("order_meta"),
+    ).select(
+        "order_id", "Priority_Class",
+        F.col("order_meta.status").alias("status"),
+        F.col("order_meta.price_rounded").alias("price_rounded"),
+    )
+
+
+ORACLE_P8 = """
+SELECT o_orderkey AS order_id, o_orderpriority AS Priority_Class,
+       o_orderstatus AS status,
+       CAST(ROUND(o_totalprice, 0) AS DOUBLE) AS price_rounded
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 — rolling-hash document fingerprint (polynomial fold over word hashes,
+# base 31 mod 2^31-1 — identical md5-derived word hashes in both engines)
+# ---------------------------------------------------------------------------
+
+_M = 2147483647
+
+_T5_SPARK = f"""
+aggregate(
+  split(text, ' '), 0L,
+  (acc, w) -> pmod(acc * 31 + conv(substring(md5(w), 1, 8), 16, 10), {_M}L)
+)
+"""
+
+def q_t5_rolling_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_T5_SPARK).cast("bigint").alias("fingerprint"))
+
+
+ORACLE_T5 = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) FOR x IN words]),
+         (acc, h) -> (acc * 31 + h) % {_M}
+       ) AS BIGINT) AS fingerprint
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# D6 — embedding-cosine near-duplicate pairs, sign-bucket prefiltered
+# (the ANN blocking path: exact cosine only within a bucket)
+# ---------------------------------------------------------------------------
+
+def q_d6_embedding_neardup(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.expr("array_join(transform(slice(embedding, 1, 4), "
+               "x -> CASE WHEN x >= 0 THEN 'p' ELSE 'n' END), '')").alias("bucket"),
+    ).withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.round(F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
+ORACLE_D6 = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+         array_to_string([CASE WHEN x >= 0 THEN 'p' ELSE 'n' END
+                          FOR x IN list_slice(embedding, 1, 4)], '') AS bucket
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, bucket, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT * FROM pairs WHERE cosine >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# V5 — IVF-cell ANN: search only the query's coarse cell (label = cell id)
+# ---------------------------------------------------------------------------
+
+def q_v5_ivf_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qcell"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    pairs = (
+        e.join(F.broadcast(q), (F.col("label") == F.col("qcell"))
+               & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id",
+                F.round(F.expr(dot) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select("qid", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_V5 = """
+WITH e AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+q AS (SELECT vec_id AS qid, label AS qcell, v AS qv, nrm AS qn FROM n WHERE vec_id < 3),
+pairs AS (
+  SELECT q.qid, c.vec_id,
+         ROUND(list_sum(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]))
+               / (q.qn * c.nrm), 6) AS cosine
+  FROM n c JOIN q ON c.label = q.qcell AND c.vec_id != q.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# G3 — exact-length simple paths (2-hop) on the nation-region graph:
+# nation → region → nation, endpoints distinct (cycle check)
+# ---------------------------------------------------------------------------
+
+def q_g3_two_hop_paths(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+        .select(
+            F.col("a.n_nationkey").alias("n1"),
+            F.col("a.n_regionkey").alias("via_region"),
+            F.col("b.n_nationkey").alias("n2"),
+        )
+    )
+
+
+ORACLE_G3 = """
+SELECT a.n_nationkey AS n1, a.n_regionkey AS via_region, b.n_nationkey AS n2
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 — ontology relation registry: distinct relation classes, densely
+# numbered in sort order (kg_agent/schemes.py:30-32 contract)
+# ---------------------------------------------------------------------------
+
+def q_o1_relation_registry(spark, sf_dir):
+    from deep_reason_spark.queries_text import q_p3_trigram_triples
+    t = q_p3_trigram_triples(spark, sf_dir)
+    w = Window.orderBy("relation_name")
+    return (
+        t.select(F.col("predicate").alias("relation_name")).distinct()
+        .withColumn("relation_id", F.row_number().over(w).cast("int"))
+        .select("relation_id", "relation_name")
+    )
+
+
+def _oracle_o1() -> str:
+    from deep_reason_spark.queries_text import ORACLE_P3
+    return f"""
+WITH tr AS ({ORACLE_P3}),
+d AS (SELECT DISTINCT predicate AS relation_name FROM tr)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY relation_name) AS INT) AS relation_id,
+       relation_name
+FROM d
+"""
+
+
+EXTRA_QUERIES = {
+    "a8_global_search": q_a8_global_search,
+    "u2_undirected_dedup": q_u2_undirected_dedup,
+    "p8_rename_reshape": q_p8_rename_reshape,
+    "t5_rolling_fingerprint": q_t5_rolling_fingerprint,
+    "d6_embedding_neardup": q_d6_embedding_neardup,
+    "v5_ivf_topk": q_v5_ivf_topk,
+    "g3_two_hop_paths": q_g3_two_hop_paths,
+    "o1_relation_registry": q_o1_relation_registry,
+}
+
+
+def extra_oracles() -> dict[str, str]:
+    return {
+        "a8_global_search": ORACLE_A8,
+        "u2_undirected_dedup": ORACLE_U2,
+        "p8_rename_reshape": ORACLE_P8,
+        "t5_rolling_fingerprint": ORACLE_T5,
+        "d6_embedding_neardup": ORACLE_D6,
+        "v5_ivf_topk": ORACLE_V5,
+        "g3_two_hop_paths": ORACLE_G3,
+        "o1_relation_registry": _oracle_o1(),
+    }
