@@ -126,6 +126,42 @@ def build_nodes(canonical_triples: DataFrame, entity_types: DataFrame | None = N
     return nodes.select("id", "title", "type", "description", "frequency", "degree")
 
 
+def build_nodes_from_edges(
+    edge_agg: DataFrame,
+    titles: DataFrame,
+    entity_types: DataFrame | None = None,
+) -> DataFrame:
+    """Edge-scale node build — same output as ``build_nodes`` without any
+    corpus-scale pass: frequency = Σ adjacent edge weights (each supporting
+    triple counts once per side), degree = distinct neighbors, description =
+    distinct adjacent predicates; titles come from the (canonical_id, title)
+    map (``titles``: the longest canonical surface per entity)."""
+    ends = edge_agg.select(
+        F.col("source").alias("id"), F.col("target").alias("nbr"),
+        "weight", "description",
+    ).unionByName(edge_agg.select(
+        F.col("target").alias("id"), F.col("source").alias("nbr"),
+        "weight", "description",
+    ))
+    per_node = ends.groupBy("id").agg(
+        F.sum("weight").cast("bigint").alias("frequency"),
+        F.count_distinct("nbr").alias("degree"),
+        F.concat_ws("; ", F.array_sort(F.collect_set("description")))
+        .alias("description"),
+    )
+    nodes = per_node.join(F.broadcast(titles.select(F.col("canonical_id").alias("id"),
+                                                    "title")), "id", "left")
+    nodes = nodes.withColumn("title", F.coalesce("title", F.col("id")))
+    if entity_types is not None:
+        nodes = nodes.join(
+            F.broadcast(entity_types.select(F.col("canonical_id").alias("id"), "type")),
+            "id", "left",
+        ).withColumn("type", F.coalesce("type", F.lit("entity")))
+    else:
+        nodes = nodes.withColumn("type", F.lit("entity"))
+    return nodes.select("id", "title", "type", "description", "frequency", "degree")
+
+
 def induced_subgraph(edges: DataFrame, members: DataFrame) -> DataFrame:
     """Community subgraph induction (G4, gen_agent/sampling.py:397-407):
     keep edges whose BOTH endpoints are members — two broadcast semi-joins."""

@@ -113,6 +113,33 @@ def link_mentions(
     )
 
 
+def build_surface_map(triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """(surface → entity_id, canonical_name, linked) over the DISTINCT
+    subject/object surfaces of a triples table.
+
+    The entity side of the pipeline is vocabulary-scale, not corpus-scale:
+    one narrow distinct over two string columns, then the broadcast dict
+    join — every downstream entity computation (canonicalization, typing,
+    ontology) runs on this map instead of rescanning wide triple rows."""
+    surfaces = (
+        triples.select(F.col("subject").alias("surface"))
+        .union(triples.select(F.col("object").alias("surface")))
+        .distinct()
+    )
+    resolved = resolve_alias_dict(alias_dict)
+    joined = surfaces.withColumn("_k", F.lower(F.col("surface"))).join(
+        F.broadcast(resolved), on="_k", how="left"
+    )
+    return joined.select(
+        "surface",
+        F.coalesce(
+            F.col("entity_id"), F.concat(F.lit("unk-"), F.md5(F.col("_k")))
+        ).alias("entity_id"),
+        F.coalesce("canonical_name", F.col("surface")).alias("canonical_name"),
+        F.col("canonical_name").isNotNull().alias("linked"),
+    )
+
+
 def link_triples(triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Link subject and object of every triple: two broadcast joins against
     the resolved dictionary — the triples table itself never shuffles.

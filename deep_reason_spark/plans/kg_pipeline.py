@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 from deep_reason_spark.operators.canonicalize import canonicalize_entities
 from deep_reason_spark.operators.chunker import chunk_repo_files
 from deep_reason_spark.operators.extractor import extract_triples
-from deep_reason_spark.operators.graph import add_combined_degree, build_edges, build_nodes
-from deep_reason_spark.operators.linking import link_triples
-from deep_reason_spark.operators.ontology import build_kg_structure, build_ontology
+from deep_reason_spark.operators.graph import (
+    add_combined_degree,
+    build_edges,
+    build_nodes_from_edges,
+)
+from deep_reason_spark.operators.linking import build_surface_map
+from deep_reason_spark.operators.ontology import attach_types, build_ontology
 from deep_reason_spark.sources.checkpoint import (
     CheckpointLedger,
     bucket_col,
@@ -152,56 +156,92 @@ def run_graph_stage(
     metrics = metrics or PipelineMetrics()
     t0 = time.monotonic()
 
-    linked = link_triples(triples, alias_dict)
-    # entity-scale intermediates are materialized ONCE (localCheckpoint) —
-    # every downstream consumer would otherwise re-execute the whole
-    # upstream plan; on a cluster these would be persisted stage tables
-    ids = (
-        linked.select(F.col("subject_id").alias("entity_id"),
-                      F.col("subject_canonical").alias("canonical_name"))
-        .unionByName(
-            linked.select(F.col("object_id").alias("entity_id"),
-                          F.col("object_canonical").alias("canonical_name")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # The entity side runs on DISTINCT surfaces (vocabulary-scale) — one
+    # narrow corpus scan, then everything up to canonical ids happens on the
+    # small map, materialized ONCE (localCheckpoint). On a cluster these
+    # would be persisted stage tables.
+    surface_map = build_surface_map(triples, alias_dict).localCheckpoint()
+    ids = surface_map.select("entity_id", "canonical_name").distinct()
     mapping = canonicalize_entities(ids, salt=salt).localCheckpoint()
 
-    # broadcast the canonical-id map only while it is dictionary-sized;
+    # broadcast the surface→canonical map only while it is dictionary-sized;
     # beyond that it must shuffle (a 10^9-entity map cannot live on every
     # executor) — AQE then handles any hub-entity skew in the join
-    hint = F.broadcast if mapping.count() <= 5_000_000 else (lambda df: df)
+    full_map = (
+        surface_map.join(F.broadcast(mapping), "entity_id")
+        .select("surface", "entity_id", "canonical_id", "canonical_name", "linked")
+        .localCheckpoint()
+    )
+    hint = F.broadcast if full_map.count() <= 5_000_000 else (lambda df: df)
+
+    def side(role: str, id_col: str, canon_col: str, cid_col: str) -> DataFrame:
+        return full_map.select(
+            F.col("surface").alias(role),
+            F.col("entity_id").alias(id_col),
+            F.col("canonical_name").alias(canon_col),
+            F.col("canonical_id").alias(cid_col),
+        )
+
     canonical = (
-        linked
-        .join(hint(mapping.withColumnRenamed("entity_id", "subject_id")
-                   .withColumnRenamed("canonical_id", "src")), "subject_id")
-        .join(hint(mapping.withColumnRenamed("entity_id", "object_id")
-                   .withColumnRenamed("canonical_id", "dst")), "object_id")
+        triples
+        .join(hint(side("subject", "subject_id", "subject_canonical", "src")),
+              "subject")
+        .join(hint(side("object", "object_id", "object_canonical", "dst")),
+              "object")
         # deliberately NOT persisted: each consumer (edge build, node build)
         # re-derives it from the triples parquet, and Catalyst prunes the
         # scan to exactly the columns that consumer needs — re-reading a
         # pruned columnar scan is cheaper than materializing 10^7+ wide
         # rows to storage and reading them back whole
     )
+    linked = canonical  # ontology consumes subject_id/object_id from here
 
-    edge_agg = build_edges(canonical).localCheckpoint()  # reused 3× by degree calc
+    edge_agg = build_edges(canonical).localCheckpoint()  # reused by degree/ontology/kg
     edges = add_combined_degree(edge_agg)
 
-    # ontology (entity/relation classes + connections) and typed nodes
+    # The ontology/KgStructure layer is EDGE-scale, never corpus-scale:
+    # classes, relations, connections and instance triplets are all
+    # derivable from the aggregated edge table + the entity-type map —
+    # re-deriving them from raw triples would rescan the corpus 3×.
     if entity_types is None:
         entity_types = spark.createDataFrame([], "entity_id string, type string")
-    onodes, orels, oconns = build_ontology(linked, entity_types)
-    orels = orels.localCheckpoint()  # tiny; referenced by connections + kg
     canonical_types = mapping.join(
         F.broadcast(entity_types), "entity_id", "left"
     ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
         F.col("type").isNotNull()
+    ).localCheckpoint()
+
+    ctypes = canonical_types.withColumnRenamed("canonical_id", "entity_id")
+    edge_pairs = edge_agg.select(
+        F.col("source").alias("subject_id"), F.col("target").alias("object_id"),
+        F.col("description").alias("predicate"),
     )
-    nodes = build_nodes(canonical, entity_types=canonical_types)
-    kg_nodes, kg_triplets = build_kg_structure(canonical, canonical_types
-                                               .withColumnRenamed("canonical_id",
-                                                                  "entity_id"),
-                                               orels)
+    onodes, orels, oconns = build_ontology(edge_pairs, ctypes)
+    orels = orels.localCheckpoint()  # tiny; referenced by connections + kg
+
+    titles = full_map.groupBy("canonical_id").agg(
+        F.max_by("canonical_name", F.length("canonical_name")).alias("title"))
+    nodes = build_nodes_from_edges(
+        edge_agg, titles, entity_types=canonical_types).localCheckpoint()
+    # kg_nodes is a projection of the nodes table (no corpus rescan)
+    kg_nodes = nodes.select(
+        F.col("id").alias("node_id"), F.col("title").alias("entity_name"),
+        F.concat(F.lit("class:"), F.col("type")).alias("ontology_node_id"),
+    )
+    kg_triplets = (
+        attach_types(edge_pairs, ctypes)
+        .join(F.broadcast(orels), F.col("predicate") == F.col("relation_name"))
+        .select(
+            F.col("subject_id").alias("kg_subject_id"),
+            F.col("object_id").alias("kg_object_id"),
+            F.concat_ws(
+                "|", F.concat(F.lit("class:"), F.col("subject_type")),
+                F.col("relation_id").cast("string"),
+                F.concat(F.lit("class:"), F.col("object_type")),
+            ).alias("ontology_nodes_connection_id"),
+        )
+        .distinct()
+    )
 
     for name, df in [("ontology_nodes", onodes), ("ontology_relations", orels),
                      ("ontology_connections", oconns), ("kg_nodes", kg_nodes),
