@@ -282,7 +282,44 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# J3 — community membership map join: communities carry entity_ids arrays;
+# explode membership and decorate with per-entity stats
+# (gen_agent/sampling.py:366-399)
+# ---------------------------------------------------------------------------
+
+def q_j3_community_membership(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    comm = n.groupBy(F.col("n_regionkey").alias("community_id")).agg(
+        F.array_sort(F.collect_list("n_name")).alias("entity_ids"))
+    members = comm.select("community_id", F.explode("entity_ids").alias("member"))
+    stats = (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .groupBy("n_name").agg(F.count("c_custkey").alias("n_customers"))
+    )
+    return members.join(F.broadcast(stats),
+                        members["member"] == stats["n_name"]).select(
+        "community_id", "member", "n_customers")
+
+
+ORACLE_J3 = """
+WITH comm AS (
+  SELECT n_regionkey AS community_id, list(n_name ORDER BY n_name) AS entity_ids
+  FROM nation GROUP BY 1
+),
+m AS (SELECT community_id, UNNEST(entity_ids) AS member FROM comm),
+stats AS (
+  SELECT n_name, COUNT(c_custkey) AS n_customers
+  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT community_id, member, n_customers FROM m JOIN stats ON member = n_name
+"""
+
+
 EXTRA_QUERIES = {
+    "j3_community_membership": q_j3_community_membership,
     "a8_global_search": q_a8_global_search,
     "u2_undirected_dedup": q_u2_undirected_dedup,
     "p8_rename_reshape": q_p8_rename_reshape,
@@ -296,6 +333,7 @@ EXTRA_QUERIES = {
 
 def extra_oracles() -> dict[str, str]:
     return {
+        "j3_community_membership": ORACLE_J3,
         "a8_global_search": ORACLE_A8,
         "u2_undirected_dedup": ORACLE_U2,
         "p8_rename_reshape": ORACLE_P8,

@@ -1,0 +1,61 @@
+"""Editing-dataset conversion tests (dataset_conversion.py:30-90 semantics)."""
+
+from __future__ import annotations
+
+from deep_reason_spark.operators.editing import (
+    EDITING_INPUT_SCHEMA,
+    convert_to_editing_dataset,
+)
+
+
+def _results(spark, payloads):
+    return spark.createDataFrame(
+        [(p,) for p in payloads],
+        f"knowledge_editing_input {EDITING_INPUT_SCHEMA}",
+    )
+
+
+def _obs(prompt, subject, target="t", lg=None, reasoning=None, alias=None,
+         rel_spec=None):
+    return {
+        "prompt": prompt, "subject": subject, "target_new": target,
+        "portability": {"logical_generalization": lg, "reasoning": reasoning,
+                        "subject_aliasing": alias},
+        "locality": {"relation_specificity": rel_spec},
+    }
+
+
+def test_lowercasing_and_subject_filter(spark):
+    df = _results(spark, [
+        [_obs("Ada Lovelace developed X", "Ada Lovelace")],   # kept (lowered)
+        [_obs("something unrelated", "Missing Subject")],      # dropped (P6)
+    ])
+    rows = convert_to_editing_dataset(df).collect()
+    assert len(rows) == 1
+    assert rows[0].prompt == "ada lovelace developed x"
+    assert rows[0].subject == "ada lovelace"
+
+
+def test_list_payloads_exploded_and_nulls_skipped(spark):
+    df = _results(spark, [
+        [_obs("a b", "a"), None, _obs("c d", "c")],
+        None,
+    ])
+    rows = convert_to_editing_dataset(df).collect()
+    assert {r.subject for r in rows} == {"a", "c"}
+
+
+def test_field_renames(spark):
+    df = _results(spark, [[_obs("x y", "x", lg=["g1", "g2"], reasoning="r",
+                                alias="al", rel_spec="rs")]])
+    [row] = convert_to_editing_dataset(df).collect()
+    assert row.portability.Local_Generalization == ["g1", "g2"]
+    assert row.portability.Reasoning == "r"
+    assert row.portability.Subject_Aliasing == "al"
+    assert row.locality.Relation_Specificity == "rs"
+
+
+def test_missing_generalization_becomes_empty_list(spark):
+    df = _results(spark, [[_obs("x y", "x")]])
+    [row] = convert_to_editing_dataset(df).collect()
+    assert row.portability.Local_Generalization == []

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — the scale properties are asserted on
+the PLAN, not just timed: filter pushdown reaches the parquet scan, column
+pruning holds, JVM-only operators never spawn Python, the chunker is
+shuffle-free, and linking broadcasts."""
+
+from __future__ import annotations
+
+import pytest
+
+from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
+from deep_reason_spark.operators.chunker import chunk_repo_files
+from deep_reason_spark.operators.linking import link_triples
+from deep_reason_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_a7_pushes_shipdate_filter_to_scan(spark):
+    plan = _plan(QUERIES["a7_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_a7_prunes_columns(spark):
+    plan = _plan(QUERIES["a7_pricing_summary"](spark, SF))
+    # ReadSchema must not include unused columns like l_partkey/l_suppkey
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read
+
+
+def test_jvm_only_queries_have_no_python_eval(spark):
+    for name in ["s1_chunk_documents", "d5_simhash", "v1_cosine_topk",
+                 "t5_rolling_fingerprint", "a11_salted_hot_agg"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "EvalPython" not in plan, f"{name} spawned Python"
+
+
+def test_whole_stage_codegen_covers_agg_path(spark):
+    df = QUERIES["a11_salted_hot_agg"](spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' marks WholeStageCodegen stages in the final plan string
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_chunker_is_shuffle_free(spark):
+    chunks = chunk_repo_files(generate_repo_files(spark, 50))
+    plan = _plan(chunks)
+    assert "Exchange" not in plan  # zero-shuffle chunking
+
+
+def test_linking_fact_side_never_shuffles(spark):
+    from deep_reason_spark.operators.extractor import extract_triples
+    triples = extract_triples(chunk_repo_files(generate_repo_files(spark, 50)))
+    plan = _plan(link_triples(triples, alias_dict_df(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchanges allowed are broadcast exchanges (dict side)
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "BroadcastExchange" not in ln:
+            pytest.fail(f"non-broadcast exchange in linking plan: {ln.strip()}")
+
+
+def test_broadcast_hint_survives_in_j1(spark):
+    plan = _plan(QUERIES["j1_region_stats"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation AND region broadcast
