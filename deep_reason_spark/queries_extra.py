@@ -318,7 +318,107 @@ SELECT community_id, member, n_customers FROM m JOIN stats ON member = n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# RAG — the full-text query lifecycle end-to-end (SURVEY.md §3.2):
+# keywords → retrieval top-k → rerank (0-10, keep >2) → context packing →
+# per-question context stats, mirrored completely in SQL
+# ---------------------------------------------------------------------------
+
+_RAG_QS = [(1, "spark query table window"), (2, "vector stream data hash"),
+           (3, "zzz qqq nonexistent")]
+_RAG_STOP = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+
+def q_rag_fulltext_lifecycle(spark, sf_dir):
+    from deep_reason_spark.plans.rag_pipeline import (
+        fulltext_branch,
+        pack_context,
+        rerank,
+    )
+    docs = load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_RAG_QS, "question_id int, question string")
+    retrieved = fulltext_branch(qs, docs).groupBy("question_id", "doc_id").agg(
+        F.array_sort(F.collect_set("branch")).alias("branches"))
+    ctx = pack_context(rerank(retrieved, qs, docs), docs, char_budget=1200)
+    return ctx.groupBy("question_id").agg(
+        F.count("*").alias("n_context_docs"),
+        F.round(F.sum("rerank_score"), 4).alias("total_score"),
+    )
+
+
+def _oracle_rag() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _RAG_QS)
+    stop = ", ".join(f"'{w}'" for w in _RAG_STOP)
+    return f"""
+WITH q(question_id, question) AS (VALUES {vals}),
+kw AS (
+  SELECT question_id,
+         UNNEST(list_distinct(list_filter(string_split_regex(lower(question), '[^a-z0-9]+'),
+                w -> length(w) > 1 AND w NOT IN ({stop})))) AS keyword
+  FROM q
+),
+hits AS (
+  SELECT k.question_id, d.doc_id, COUNT(*) AS ft_score
+  FROM documents d JOIN kw k ON position(k.keyword IN d.text) > 0
+  GROUP BY k.question_id, d.doc_id
+),
+top AS (
+  SELECT question_id, doc_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY question_id
+                                 ORDER BY ft_score DESC, doc_id ASC) AS rn
+    FROM hits) WHERE rn <= 3
+),
+nkw AS (SELECT question_id, COUNT(*) AS n_kw FROM kw GROUP BY question_id),
+matched AS (
+  SELECT t.question_id, t.doc_id, COUNT(*) AS n_m
+  FROM top t JOIN documents d ON d.doc_id = t.doc_id
+             JOIN kw k ON k.question_id = t.question_id
+                      AND position(k.keyword IN d.text) > 0
+  GROUP BY t.question_id, t.doc_id
+),
+scored AS (
+  SELECT t.question_id, t.doc_id,
+         ROUND(COALESCE(m.n_m, 0) * 10.0 / n.n_kw, 4) AS rerank_score
+  FROM top t LEFT JOIN matched m ON m.question_id = t.question_id
+                                AND m.doc_id = t.doc_id
+             JOIN nkw n ON n.question_id = t.question_id
+),
+kept AS (SELECT * FROM scored WHERE rerank_score > 2),
+packed AS (
+  SELECT k.question_id, k.doc_id, k.rerank_score,
+         SUM(LENGTH(d.text)) OVER (PARTITION BY k.question_id
+                                   ORDER BY k.rerank_score DESC, k.doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+),
+ctx AS (SELECT * FROM packed WHERE cum <= 1200)
+SELECT question_id, COUNT(*) AS n_context_docs,
+       ROUND(SUM(rerank_score), 4) AS total_score
+FROM ctx GROUP BY question_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# G1 — pseudo-random chain sampling (rows-only: the xxhash64 sampling rank
+# has no DuckDB equivalent; properties are pytest-verified instead)
+# ---------------------------------------------------------------------------
+
+def q_g1_chain_sampling(spark, sf_dir):
+    from deep_reason_spark.operators.sampling import sample_chains
+    n = load(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0"))
+        .alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    chains = sample_chains(edges, chain_length=3, n_chains=10,
+                           reject_connected_endpoints=True)
+    return chains.select(F.array_join("chain", "->").alias("chain"))
+
+
 EXTRA_QUERIES = {
+    "rag_fulltext_lifecycle": q_rag_fulltext_lifecycle,
+    "g1_chain_sampling": q_g1_chain_sampling,
     "j3_community_membership": q_j3_community_membership,
     "a8_global_search": q_a8_global_search,
     "u2_undirected_dedup": q_u2_undirected_dedup,
@@ -333,6 +433,8 @@ EXTRA_QUERIES = {
 
 def extra_oracles() -> dict[str, str]:
     return {
+        "rag_fulltext_lifecycle": _oracle_rag(),
+        # g1_chain_sampling intentionally has NO oracle (rows-only check)
         "j3_community_membership": ORACLE_J3,
         "a8_global_search": ORACLE_A8,
         "u2_undirected_dedup": ORACLE_U2,
