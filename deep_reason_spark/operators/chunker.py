@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 # Paragraph separator: blank line. The reference's corpus loaders treat one
 # JSON record as one chunk (deep_reason/utils.py:191-221); our engine owns
 # the inverse step (file content → chunks), per SURVEY.md §7 step 2.
-PARAGRAPH_SEP = r"\n\s*\n"
+#
+# This string is interpolated into a Spark SQL string LITERAL, which applies
+# its own backslash unescaping before the regex engine sees it — so every
+# regex backslash must be doubled here (like extractor._SENT_SPLIT_SQL).
+# With single backslashes the literal '\n\s*\n' unescapes to newline+'s*'+
+# newline: lines of 's' characters get eaten as separators (ADVICE r1, high).
+PARAGRAPH_SEP = r"\\n\\s*\\n"
 
 CHUNK_COLUMNS = [
     "document_id", "order_id", "chapter_name", "text", "left_text", "right_text",

@@ -34,10 +34,13 @@ EDITING_INPUT_SCHEMA = (
 def convert_to_editing_dataset(results: DataFrame,
                                input_col: str = "knowledge_editing_input") -> DataFrame:
     """agent results → flat editing-dataset rows (one per editing input)."""
+    # The reference keeps observations lacking a prompt — it only skips
+    # null/empty editing inputs (dataset_conversion.py:36-45); rows without
+    # a prompt flow through with prompt=NULL.
     exploded = (
         results.where(F.col(input_col).isNotNull())
         .select(F.explode(input_col).alias("obs"))
-        .where(F.col("obs").isNotNull() & F.col("obs.prompt").isNotNull())
+        .where(F.col("obs").isNotNull())
     )
     lowered = exploded.select(
         F.lower(F.col("obs.prompt")).alias("prompt"),
@@ -46,9 +49,12 @@ def convert_to_editing_dataset(results: DataFrame,
         F.col("obs.portability").alias("_port"),
         F.col("obs.locality").alias("_loc"),
     )
-    # P6: subject must appear inside the prompt (dataset_conversion.py:54-57)
+    # P6: subject-in-prompt filter applies ONLY when both fields are present
+    # (dataset_conversion.py:54-57); a missing prompt or subject passes.
     filtered = lowered.where(
-        F.col("subject").isNull() | F.col("prompt").contains(F.col("subject"))
+        F.col("subject").isNull()
+        | F.col("prompt").isNull()
+        | F.col("prompt").contains(F.col("subject"))
     )
     # P8: field renames inside the nested structs (:59-82)
     return filtered.select(

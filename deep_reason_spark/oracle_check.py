@@ -29,7 +29,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_df, float_tol: float = 0.0) -> list[str]:
-    """→ list of mismatch descriptions (empty = parity)."""
+    """→ list of mismatch descriptions (empty = parity).
+
+    DTYPE-STRICT, mirroring the driver's string-hash: an int64 250 vs a
+    float64 250.0 is a MISMATCH (the driver hashes "250" vs "250.0"), so a
+    numerically-equal-but-differently-typed column fails here too — the
+    local gate must not pass what the driver will flunk."""
     a, b = _normalize(spark_df), _normalize(oracle_df)
     problems: list[str] = []
     if list(a.columns) != list(b.columns):
@@ -38,6 +43,14 @@ def compare(spark_df, oracle_df, float_tol: float = 0.0) -> list[str]:
         return [f"row count differs: spark={len(a)} oracle={len(b)}"]
     for col in a.columns:
         av, bv = a[col], b[col]
+        a_float = pd.api.types.is_float_dtype(av)
+        b_float = pd.api.types.is_float_dtype(bv)
+        if a_float != b_float and float_tol == 0.0:
+            problems.append(
+                f"col {col}: dtype mismatch spark={av.dtype} oracle={bv.dtype}"
+                " (driver hashes values as strings: int vs float differs)"
+            )
+            continue
         for i, (x, y) in enumerate(zip(av, bv)):
             same: bool
             if isinstance(x, float) or isinstance(y, float):
@@ -61,9 +74,13 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
     for name in names or sorted(QUERIES):
-        sdf = QUERIES[name](spark, sf_dir).toPandas()
+        try:
+            sdf = QUERIES[name](spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — parity report, not control flow
+            results[name] = [f"spark query failed: {exc}"]
+            continue
         if name not in ORACLES:
-            results[name] = [] if len(sdf) >= 0 else ["spark query failed"]
+            results[name] = [f"no oracle: rows-only check ({len(sdf)} rows)"]
             continue
         odf = con.sql(ORACLES[name]).df()
         results[name] = compare(sdf, odf)

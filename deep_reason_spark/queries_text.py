@@ -438,7 +438,10 @@ def q_w5_budget_prefix(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.withColumn("cum_chars", F.sum("n_chars").over(w))
+        # bigint on BOTH sides: DuckDB's SUM(int) is HUGEINT, which lands in
+        # pandas as float64 and breaks the driver's string-hash ("250.0" vs
+        # "250"). CAST AS BIGINT pins both engines to int64.
+        d.withColumn("cum_chars", F.sum("n_chars").over(w).cast("bigint"))
         .where(F.col("cum_chars") <= 1000)
         .select("source", "doc_id", "cum_chars")
     )
@@ -447,8 +450,9 @@ def q_w5_budget_prefix(spark, sf_dir):
 ORACLE_W5 = """
 WITH r AS (
   SELECT source, doc_id,
-         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+         CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_chars
   FROM documents
 )
 SELECT source, doc_id, cum_chars FROM r WHERE cum_chars <= 1000

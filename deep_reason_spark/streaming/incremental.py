@@ -46,8 +46,20 @@ def stream_extract_triples(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        triples = extract_triples(chunk_repo_files(batch_df))
-        triples.write.mode("append").parquet(os.path.join(out_dir, "triples"))
+        # Idempotent sink: a blind append is only at-least-once (a batch that
+        # fails after a partial write is replayed from the checkpoint and
+        # duplicates rows). Partitioning by batch_id with DYNAMIC partition
+        # overwrite makes the replay REPLACE its own partition — exactly-once
+        # per micro-batch without touching other batches' output.
+        triples = extract_triples(chunk_repo_files(batch_df)).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "triples"))
+        )
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -56,6 +56,25 @@ def test_oversized_paragraph_is_split_not_truncated(spark):
     assert "".join(r.text for r in out) == big  # lossless
 
 
+def test_regex_escaping_lone_s_line_survives(spark):
+    # ADVICE r1 (high): under-escaped SQL literal turned the separator regex
+    # into newline+'s*'+newline — a content line of 's' characters was eaten
+    # as a separator. It must survive as content.
+    content = "first para.\nsss\nstill first.\n\nsecond para."
+    df = _mk(spark, [("r/a", "f.py", "c" * 40, "py", content)])
+    out = chunk_repo_files(df).orderBy("order_id").collect()
+    assert [r.text for r in out] == ["first para.\nsss\nstill first.",
+                                     "second para."]
+
+
+def test_regex_escaping_whitespace_blank_line_splits(spark):
+    # a "blank" line containing spaces/tabs is still a paragraph separator
+    content = "first para.\n \t \nsecond para."
+    df = _mk(spark, [("r/a", "f.py", "c" * 40, "py", content)])
+    out = chunk_repo_files(df).orderBy("order_id").collect()
+    assert [r.text for r in out] == ["first para.", "second para."]
+
+
 def test_order_is_dense_per_document(spark):
     rf = generate_repo_files(spark, 80)
     chunks = chunk_repo_files(rf)

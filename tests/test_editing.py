@@ -59,3 +59,16 @@ def test_missing_generalization_becomes_empty_list(spark):
     df = _results(spark, [[_obs("x y", "x")]])
     [row] = convert_to_editing_dataset(df).collect()
     assert row.portability.Local_Generalization == []
+
+
+def test_null_prompt_rows_are_kept(spark):
+    # dataset_conversion.py keeps observations lacking a prompt; the
+    # subject-in-prompt filter only applies when BOTH fields exist (ADVICE r1)
+    df = _results(spark, [
+        [_obs(None, "some subject")],   # kept: no prompt to filter against
+        [_obs("a prompt", None)],       # kept: no subject to filter against
+        [_obs("no match here", "xyz")], # dropped: both present, no substring
+    ])
+    rows = convert_to_editing_dataset(df).collect()
+    assert len(rows) == 2
+    assert {r.subject for r in rows} == {"some subject", None}

@@ -30,4 +30,9 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     res = run_parity(spark, SF_DIR, [name])
-    assert res[name] == [], f"{name}: {res[name][:3]}"
+    if name not in ORACLES:
+        # oracle-less queries get an explicit rows-only marker, never a
+        # silent pass (ADVICE r1: the old branch was unconditionally true)
+        assert res[name] and res[name][0].startswith("no oracle"), res[name]
+    else:
+        assert res[name] == [], f"{name}: {res[name][:3]}"

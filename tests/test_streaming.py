@@ -43,6 +43,31 @@ def test_incremental_equals_batch_and_exactly_once(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out_dir, "triples")).count() == batch.count()
 
 
+def test_replayed_batch_replaces_not_appends(spark, tmp_path):
+    """A micro-batch replayed from the checkpoint (here: a wiped checkpoint
+    re-runs batch 0 over the same files) must REPLACE its output partition,
+    not append a duplicate — the dynamic-partition-overwrite sink contract
+    (ADVICE r1: blind append was only at-least-once)."""
+    import shutil
+
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    files = generate_repo_files(spark, 40).localCheckpoint()
+    files.write.mode("append").parquet(corpus_dir)
+
+    q = stream_extract_triples(spark, corpus_dir, out_dir)
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(os.path.join(out_dir, "triples")).count()
+
+    # wipe the checkpoint → the next run re-processes everything as batch 0,
+    # exactly like a replay after a mid-write failure
+    shutil.rmtree(os.path.join(out_dir, "_stream_checkpoint"))
+    q2 = stream_extract_triples(spark, corpus_dir, out_dir)
+    q2.awaitTermination(120)
+    n_replayed = spark.read.parquet(os.path.join(out_dir, "triples")).count()
+    assert n_replayed == n_first  # replaced, not duplicated
+
+
 def test_windowed_event_counts(spark, tmp_path):
     events_dir = "/root/testdata/sf0.001"
     out_dir = str(tmp_path / "wm")
