@@ -58,16 +58,73 @@ def all_simple_paths(edges: DataFrame, chain_length: int) -> DataFrame:
     return paths.select(canonical.alias("chain")).distinct()
 
 
+def _chain_rank(seed: int) -> list:
+    """Deterministic pseudo-random ordering key for a chain: md5 of the
+    joined path + seed. md5 is bit-identical in Spark and DuckDB, so the
+    same ranking (and therefore the same sample) is reproducible in the
+    SQL oracle; the joined string is the tie-break."""
+    s = F.concat(F.array_join("chain", "|"), F.lit(f"#{seed}"))
+    return [F.md5(s), F.array_join("chain", "|")]
+
+
+def frontier_walk(
+    edges: DataFrame,
+    chain_length: int,
+    frontier_cap: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Frontier-capped pseudo-random walk → DataFrame(chain array<string>).
+
+    The reference samples chains by BOUNDED random walks (≤1000 attempts,
+    gen_agent/sampling.py:119-173) — it never enumerates all simple paths,
+    whose count is exponential in length on dense graphs. This is the
+    dataflow equivalent: each step extends every frontier chain with the
+    neighbors of its last node (cycle-checked), then keeps only the
+    ``frontier_cap`` best chains by deterministic md5 rank. The frontier is
+    ≤ frontier_cap rows AFTER EVERY STEP by construction (orderBy+limit =
+    per-partition top-K + single merge), so the walk is O(cap × avg_degree)
+    per step regardless of graph size — a 10⁴-degree hub costs one bounded
+    fan-out, not an exponential blow-up."""
+    if chain_length < 2:
+        raise ValueError("chain_length must be >= 2")
+    b = bidirectional(edges).localCheckpoint()
+    rank = _chain_rank(seed)
+    frontier = (
+        b.select(F.array("src", "dst").alias("chain"))
+        .orderBy(*rank).limit(frontier_cap)
+    )
+    for _ in range(chain_length - 2):
+        step = b.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+        frontier = (
+            frontier.join(step, F.element_at("chain", -1) == F.col("_s"))
+            .where(~F.array_contains("chain", F.col("_d")))
+            .select(F.concat("chain", F.array("_d")).alias("chain"))
+            .orderBy(*rank).limit(frontier_cap)
+        )
+    return frontier
+
+
 def sample_chains(
     edges: DataFrame,
     chain_length: int,
     n_chains: int,
     seed: int = 42,
     reject_connected_endpoints: bool = True,
+    frontier_cap: int | None = None,
 ) -> DataFrame:
-    """G1: pseudo-random sample of simple chains; rejects chains whose
-    endpoints are directly connected (sampling.py:151-158)."""
-    paths = all_simple_paths(edges, chain_length)
+    """G1: pseudo-random sample of simple chains via a frontier-capped walk;
+    rejects chains whose endpoints are directly connected
+    (gen_agent/sampling.py:151-158). Deterministic for a given seed and
+    reproducible across cluster sizes (md5 rank, not rand()/xxhash64 —
+    md5 also exists in DuckDB, so the full sample is oracle-able)."""
+    if frontier_cap is None:
+        frontier_cap = max(n_chains * 8, 64)
+    paths = frontier_walk(edges, chain_length, frontier_cap, seed)
+    # uniqueness up to reversal (sampling.py:140-144)
+    canonical = F.when(
+        F.col("chain") <= F.reverse("chain"), F.col("chain")
+    ).otherwise(F.reverse("chain"))
+    paths = paths.select(canonical.alias("chain")).distinct()
     if reject_connected_endpoints:
         b = bidirectional(edges)
         ends = paths.select(
@@ -76,12 +133,7 @@ def sample_chains(
             F.element_at("chain", -1).alias("dst"),
         )
         paths = ends.join(b, ["src", "dst"], "left_anti").select("chain")
-    return (
-        paths.withColumn("_r", F.xxhash64(F.col("chain"), F.lit(seed)))
-        .orderBy("_r")
-        .limit(n_chains)
-        .select("chain")
-    )
+    return paths.orderBy(*_chain_rank(seed)).limit(n_chains).select("chain")
 
 
 def community_chains(

@@ -399,9 +399,15 @@ FROM ctx GROUP BY question_id
 
 
 # ---------------------------------------------------------------------------
-# G1 — pseudo-random chain sampling (rows-only: the xxhash64 sampling rank
-# has no DuckDB equivalent; properties are pytest-verified instead)
+# G1 — pseudo-random chain sampling via frontier-capped walk. Fully oracled:
+# the md5 sampling rank is bit-identical in DuckDB, so the oracle replays the
+# exact walk (capped frontier per step → reversal dedup → endpoint rejection
+# → ranked top-n) as chained CTEs.
 # ---------------------------------------------------------------------------
+
+_G1_SEED = 42
+_G1_CAP = 64  # frontier cap: exercised (step-1 fan-out is 100 > 64 at sf≥0.001)
+
 
 def q_g1_chain_sampling(spark, sf_dir):
     from deep_reason_spark.operators.sampling import sample_chains
@@ -411,9 +417,53 @@ def q_g1_chain_sampling(spark, sf_dir):
         .alias("src"),
         F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
     )
-    chains = sample_chains(edges, chain_length=3, n_chains=10,
-                           reject_connected_endpoints=True)
+    chains = sample_chains(edges, chain_length=3, n_chains=10, seed=_G1_SEED,
+                           reject_connected_endpoints=True,
+                           frontier_cap=_G1_CAP)
     return chains.select(F.array_join("chain", "->").alias("chain"))
+
+
+ORACLE_G1 = f"""
+WITH e AS (
+  SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS src,
+         'r' || CAST(n_regionkey AS VARCHAR) AS dst
+  FROM nation
+),
+b AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+  ) WHERE src <> dst
+),
+f2 AS (
+  SELECT [src, dst] AS chain FROM b
+  ORDER BY md5(array_to_string([src, dst], '|') || '#{_G1_SEED}'),
+           array_to_string([src, dst], '|')
+  LIMIT {_G1_CAP}
+),
+f3 AS (
+  SELECT list_append(f2.chain, b.dst) AS chain
+  FROM f2 JOIN b ON b.src = f2.chain[-1]
+  WHERE NOT list_contains(f2.chain, b.dst)
+  ORDER BY md5(array_to_string(list_append(f2.chain, b.dst), '|') || '#{_G1_SEED}'),
+           array_to_string(list_append(f2.chain, b.dst), '|')
+  LIMIT {_G1_CAP}
+),
+canon AS (
+  SELECT DISTINCT CASE WHEN chain <= list_reverse(chain) THEN chain
+                       ELSE list_reverse(chain) END AS chain
+  FROM f3
+),
+kept AS (
+  SELECT chain FROM canon c
+  WHERE NOT EXISTS (SELECT 1 FROM b
+                    WHERE b.src = c.chain[1] AND b.dst = c.chain[-1])
+)
+SELECT array_to_string(chain, '->') AS chain
+FROM kept
+ORDER BY md5(array_to_string(chain, '|') || '#{_G1_SEED}'),
+         array_to_string(chain, '|')
+LIMIT 10
+"""
 
 
 EXTRA_QUERIES = {
@@ -434,7 +484,7 @@ EXTRA_QUERIES = {
 def extra_oracles() -> dict[str, str]:
     return {
         "rag_fulltext_lifecycle": _oracle_rag(),
-        # g1_chain_sampling intentionally has NO oracle (rows-only check)
+        "g1_chain_sampling": ORACLE_G1,
         "j3_community_membership": ORACLE_J3,
         "a8_global_search": ORACLE_A8,
         "u2_undirected_dedup": ORACLE_U2,
