@@ -441,3 +441,8 @@ from deep_reason_spark.queries_extra import EXTRA_QUERIES, extra_oracles  # noqa
 
 QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(extra_oracles())
+
+from deep_reason_spark.queries_topics import TOPIC_ORACLES, TOPIC_QUERIES  # noqa: E402
+
+QUERIES.update(TOPIC_QUERIES)
+ORACLES.update(TOPIC_ORACLES)
