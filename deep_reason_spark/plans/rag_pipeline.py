@@ -93,6 +93,116 @@ def vector_branch(questions: DataFrame, embeddings: DataFrame,
     )
 
 
+EMBED_DIM = 64        # matches the embeddings table dimensionality
+MAX_PLANNED = 3       # planner fan-out cap (the reference plans a handful)
+
+
+def plan_queries(questions: DataFrame) -> DataFrame:
+    """U3 planner (rag/pipeline.py:275-295, prompt rag/prompts.py:34-54):
+    planned queries = {question} ∪ generated sub-queries, set-deduped.
+    Deterministic contract: one sub-query per keyword, first MAX_PLANNED
+    keywords alphabetically; the question itself is query_id 0.
+    → (question_id, query_id, query_text)."""
+    kw = extract_keywords(questions)
+    w = Window.partitionBy("question_id").orderBy("keyword")
+    subs = (
+        kw.withColumn("query_id", F.row_number().over(w))
+        .where(F.col("query_id") <= MAX_PLANNED)
+        .select("question_id", "query_id", F.col("keyword").alias("query_text"))
+    )
+    base = questions.select(
+        "question_id", F.lit(0).alias("query_id"),
+        F.col("question").alias("query_text"))
+    # set semantics (list({question, *queries})): dedup identical texts
+    return (
+        base.unionByName(subs)
+        .groupBy("question_id", "query_text")
+        .agg(F.min("query_id").alias("query_id"))
+        .select("question_id", "query_id", "query_text")
+    )
+
+
+def hash_embed(planned: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Deterministic text embedding via the public feature-hashing trick:
+    each token lands in bucket md5[:8] % dim with sign md5[9] % 2, components
+    are signed token counts (exact integers — engine-order-proof). Replaces
+    the reference's embedding-endpoint call with a self-contained, DuckDB-
+    mirrorable contract. → (question_id, query_id, dim, q) sparse rows."""
+    toks = planned.select(
+        "question_id", "query_id",
+        F.explode(F.expr(
+            "filter(split(lower(query_text), '[^a-z0-9]+'), w -> length(w) > 1)"
+        )).alias("w"),
+    )
+    comp = toks.select(
+        "question_id", "query_id",
+        F.expr(f"pmod(cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint), {dim})")
+        .cast("int").alias("dim"),
+        F.expr("CASE WHEN cast(conv(substring(md5(w), 9, 1), 16, 10) as bigint) % 2 = 0"
+               " THEN 1L ELSE -1L END").alias("s"),
+    )
+    return (
+        comp.groupBy("question_id", "query_id", "dim")
+        .agg(F.sum("s").alias("q"))
+        .where(F.col("q") != 0)  # cancelled buckets contribute nothing
+    )
+
+
+def planned_vector_branch(
+    questions: DataFrame,
+    embeddings: DataFrame,
+    documents: DataFrame,
+    top_k: int = RETRIEVING_TOP_K,
+) -> DataFrame:
+    """S11/U3 multi-query vector retrieval (rag/pipeline.py:296-334):
+    retrieve cosine top-k per PLANNED query, union, content-dedup (A6).
+
+    Scale shape: the planned-query vectors are sparse (≤ tokens per query)
+    and broadcast; the corpus embedding explodes once to (doc, dim, val) —
+    an inverted index over dimensions — so the dot product is a broadcast
+    join + partial-aggregable groupBy, never a crossJoin against a wide
+    query set. Dot products fold on exact decimals (parity + determinism)."""
+    qvec = hash_embed(plan_queries(questions))
+    qn = qvec.groupBy("question_id", "query_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("qn"))
+    cand = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("dim", "val"),
+    )
+    cn = cand.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("val") * F.col("val")).cast("decimal(28,10)"))
+               .cast("double")).alias("cn"))
+    dots = (
+        cand.join(F.broadcast(qvec), "dim")
+        .groupBy("question_id", "query_id", "doc_id")
+        .agg(F.sum((F.col("val") * F.col("q")).cast("decimal(28,10)"))
+             .cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(qn), ["question_id", "query_id"])
+        .join(cn, "doc_id")
+        .select("question_id", "query_id", "doc_id",
+                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("question_id", "query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id"))
+    hits = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .select("question_id", "doc_id")
+    )
+    # A6 content dedup across the planned-query union (join node dedups by
+    # content, rag/pipeline.py:336-347): identical texts keep the smallest id
+    with_fp = hits.join(
+        documents.select("doc_id", F.md5("text").alias("_fp")), "doc_id")
+    return (
+        with_fp.groupBy("question_id", "_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("question_id", "doc_id", F.lit("vector").alias("branch"))
+    )
+
+
 def join_branches(ft: DataFrame, vec: DataFrame) -> DataFrame:
     """Fan-in (U1/J4, rag/pipeline.py:336-347): union + dedup per question,
     remembering which branches produced each doc."""
@@ -191,8 +301,13 @@ def run_rag_pipeline(
         )
     questions = questions.localCheckpoint()  # small; reused by every node
     ft = fulltext_branch(questions, documents)
-    if embeddings is not None and "question_vec" in questions.columns:
-        vec = vector_branch(questions, embeddings)
+    if embeddings is not None:
+        # U3: the planner's multi-query retrieval always runs; a provided
+        # question_vec adds the direct single-vector retrieval on top
+        # (planned ∪ question, rag/pipeline.py:296-334)
+        vec = planned_vector_branch(questions, embeddings, documents)
+        if "question_vec" in questions.columns:
+            vec = vec.unionByName(vector_branch(questions, embeddings))
         retrieved = join_branches(ft, vec)
     else:
         retrieved = ft.groupBy("question_id", "doc_id").agg(

@@ -466,8 +466,106 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# U3 — multi-query planner + vector retrieval + content dedup
+# (rag/pipeline.py:275-334: planned = {question} ∪ sub-queries, retrieve
+# top-k per planned query, union, dedup by content). The deterministic
+# feature-hash embedding and the whole retrieval are mirrored in SQL.
+# ---------------------------------------------------------------------------
+
+def q_u3_planned_vector(spark, sf_dir):
+    from deep_reason_spark.plans.rag_pipeline import planned_vector_branch
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(_RAG_QS, "question_id int, question string")
+    return planned_vector_branch(qs, emb, docs).select("question_id", "doc_id")
+
+
+def _oracle_u3() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _RAG_QS)
+    stop = ", ".join(f"'{w}'" for w in _RAG_STOP)
+    return f"""
+WITH q(question_id, question) AS (VALUES {vals}),
+kw AS (
+  SELECT question_id,
+         UNNEST(list_distinct(list_filter(string_split_regex(lower(question), '[^a-z0-9]+'),
+                w -> length(w) > 1 AND w NOT IN ({stop})))) AS keyword
+  FROM q
+),
+subs AS (
+  SELECT question_id, query_id, keyword AS query_text FROM (
+    SELECT question_id, keyword,
+           ROW_NUMBER() OVER (PARTITION BY question_id ORDER BY keyword) AS query_id
+    FROM kw
+  ) WHERE query_id <= 3
+),
+planned AS (
+  SELECT question_id, MIN(query_id) AS query_id, query_text FROM (
+    SELECT question_id, 0 AS query_id, question AS query_text FROM q
+    UNION ALL
+    SELECT question_id, query_id, query_text FROM subs
+  ) GROUP BY question_id, query_text
+),
+ptoks AS (
+  SELECT question_id, query_id,
+         UNNEST(list_filter(string_split_regex(lower(query_text), '[^a-z0-9]+'),
+                            w -> length(w) > 1)) AS w
+  FROM planned
+),
+comp AS (
+  SELECT question_id, query_id,
+         CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 64 AS INT) AS dim,
+         CASE WHEN CAST(('0x' || substring(md5(w), 9, 1)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ptoks
+),
+qvec AS (
+  SELECT question_id, query_id, dim, CAST(SUM(s) AS BIGINT) AS qcomp
+  FROM comp GROUP BY question_id, query_id, dim
+  HAVING CAST(SUM(s) AS BIGINT) != 0
+),
+qn AS (
+  SELECT question_id, query_id, sqrt(CAST(SUM(qcomp * qcomp) AS DOUBLE)) AS qn
+  FROM qvec GROUP BY question_id, query_id
+),
+cand AS (
+  SELECT vec_id AS doc_id, CAST(i AS INT) - 1 AS dim,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+cn AS (
+  SELECT doc_id, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS cn
+  FROM cand GROUP BY doc_id
+),
+dots AS (
+  SELECT qv.question_id, qv.query_id, c.doc_id,
+         CAST(SUM(CAST(c.val * qv.qcomp AS DECIMAL(28,10))) AS DOUBLE) AS dot
+  FROM cand c JOIN qvec qv USING (dim)
+  GROUP BY qv.question_id, qv.query_id, c.doc_id
+),
+scored AS (
+  SELECT d.question_id, d.query_id, d.doc_id,
+         ROUND(d.dot / (qn.qn * cn.cn), 6) AS cos
+  FROM dots d JOIN qn USING (question_id, query_id) JOIN cn USING (doc_id)
+),
+hits AS (
+  SELECT question_id, doc_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY question_id, query_id
+                                 ORDER BY cos DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+fp AS (
+  SELECT h.question_id, h.doc_id, md5(d.text) AS fp
+  FROM hits h JOIN documents d USING (doc_id)
+)
+SELECT question_id, MIN(doc_id) AS doc_id FROM fp GROUP BY question_id, fp
+"""
+
+
 EXTRA_QUERIES = {
     "rag_fulltext_lifecycle": q_rag_fulltext_lifecycle,
+    "u3_planned_vector": q_u3_planned_vector,
     "g1_chain_sampling": q_g1_chain_sampling,
     "j3_community_membership": q_j3_community_membership,
     "a8_global_search": q_a8_global_search,
@@ -484,6 +582,7 @@ EXTRA_QUERIES = {
 def extra_oracles() -> dict[str, str]:
     return {
         "rag_fulltext_lifecycle": _oracle_rag(),
+        "u3_planned_vector": _oracle_u3(),
         "g1_chain_sampling": ORACLE_G1,
         "j3_community_membership": ORACLE_J3,
         "a8_global_search": ORACLE_A8,

@@ -9,8 +9,11 @@ from pyspark.sql import functions as F
 from deep_reason_spark.plans.rag_pipeline import (
     extract_keywords,
     fulltext_branch,
+    hash_embed,
     join_branches,
     pack_context,
+    plan_queries,
+    planned_vector_branch,
     rerank,
     run_rag_pipeline,
     vector_branch,
@@ -94,6 +97,45 @@ def test_end_to_end_and_resume(spark, docs, emb):
     answered = spark.createDataFrame([(1,)], "question_id int")
     remaining = run_rag_pipeline(qs, docs, answered=answered)
     assert [r.question_id for r in remaining.collect()] == [2]
+
+
+def test_plan_queries_is_question_union_subqueries(spark):
+    # rag/pipeline.py:295 — planned = list({question, *sub_queries}); the
+    # question is query_id 0, sub-queries capped at MAX_PLANNED
+    planned = plan_queries(_questions(spark)).collect()
+    by_q = {}
+    for r in planned:
+        by_q.setdefault(r.question_id, {})[r.query_id] = r.query_text
+    assert by_q[1][0] == "where is the spark table query"
+    subs = [t for qid, t in sorted(by_q[1].items()) if qid > 0]
+    assert len(subs) == 3 and subs == sorted(subs)  # alphabetical, capped
+    # set semantics: no duplicate texts
+    assert len(set(by_q[1].values())) == len(by_q[1])
+
+
+def test_hash_embed_sparse_and_deterministic(spark):
+    qs = spark.createDataFrame([(1, "alpha beta alpha")],
+                               "question_id int, question string")
+    planned = plan_queries(qs)
+    a = {(r.question_id, r.query_id, r.dim): r.q
+         for r in hash_embed(planned).collect()}
+    b = {(r.question_id, r.query_id, r.dim): r.q
+         for r in hash_embed(planned).collect()}
+    assert a == b and len(a) > 0
+    assert all(v != 0 for v in a.values())  # cancelled buckets dropped
+    # multiplicity counts: 'alpha' twice in the question → |component| 2
+    assert any(abs(v) == 2 for v in a.values())
+
+
+def test_planned_vector_branch_shape(spark, docs, emb):
+    out = planned_vector_branch(_questions(spark), emb, docs).collect()
+    per_q = {}
+    for r in out:
+        assert r.branch == "vector"
+        per_q.setdefault(r.question_id, []).append(r.doc_id)
+    for q, ids in per_q.items():
+        assert len(ids) == len(set(ids))            # content-deduped
+        assert len(ids) <= 4 * 3                    # ≤ (1+MAX_PLANNED)·top_k
 
 
 def test_two_branch_union_marks_sources(spark, docs, emb):
