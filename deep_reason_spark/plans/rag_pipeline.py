@@ -48,9 +48,18 @@ def extract_keywords(questions: DataFrame) -> DataFrame:
 
 
 def fulltext_branch(questions: DataFrame, documents: DataFrame,
-                    top_k: int = RETRIEVING_TOP_K) -> DataFrame:
+                    top_k: int = RETRIEVING_TOP_K,
+                    doc_filter=None) -> DataFrame:
     """Full-text retrieval (S10): score = matched-keyword count per doc,
-    top-k per question. The keyword set is broadcast; the corpus scans once."""
+    top-k per question. The keyword set is broadcast; the corpus scans once.
+
+    ``doc_filter``: optional metadata predicate (Column or SQL string) —
+    the ES bool-filter analogue (rag/pipeline.py:258 optional ``filter``
+    kwarg). Applied BEFORE scoring so Catalyst pushes it into the parquet
+    scan (partition/row-group pruning at corpus scale)."""
+    if doc_filter is not None:
+        documents = documents.where(
+            F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter)
     kw = extract_keywords(questions)
     hits = documents.join(
         F.broadcast(kw),

@@ -563,9 +563,63 @@ SELECT question_id, MIN(doc_id) AS doc_id FROM fp GROUP BY question_id, fp
 """
 
 
+# ---------------------------------------------------------------------------
+# AQ1 — answer-quality judge (scoring/answer_quality.py:8-59 contract:
+# consistency/similarity/completeness → 0-10 score; deterministic
+# token-overlap analogue of the LLM judge). Fixture: each doc's "generated
+# answer" is judged against the next doc as reference+context.
+# ---------------------------------------------------------------------------
+
+def q_aq1_answer_quality(spark, sf_dir):
+    from deep_reason_spark.operators.scoring import answer_quality
+    d = load(spark, sf_dir, "documents")
+    g = d.where(F.col("doc_id") < 50).select(
+        "doc_id", F.col("text").alias("generated_answer"))
+    r = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("text").alias("real_answer"))
+    pairs = g.join(r, "doc_id").withColumn("context", F.col("real_answer"))
+    return answer_quality(pairs).select(
+        "doc_id", "consistency", "similarity", "completeness", "score")
+
+
+ORACLE_AQ1 = """
+WITH pairs AS (
+  SELECT g.doc_id, g.text AS gen, r.text AS ref
+  FROM documents g JOIN documents r ON r.doc_id = g.doc_id + 1
+  WHERE g.doc_id < 50
+),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(gen), '[^a-z0-9]+'),
+                                   w -> length(w) > 1)) AS gt,
+         list_distinct(list_filter(string_split_regex(lower(ref), '[^a-z0-9]+'),
+                                   w -> length(w) > 1)) AS rt
+  FROM pairs
+),
+comp AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN len(gt) > 0
+               THEN CAST(len(list_intersect(gt, rt)) AS DOUBLE) / len(gt)
+               ELSE 0 END, 4) AS consistency,
+         ROUND(CASE WHEN len(list_distinct(list_concat(gt, rt))) > 0
+               THEN CAST(len(list_intersect(gt, rt)) AS DOUBLE)
+                    / len(list_distinct(list_concat(gt, rt)))
+               ELSE 0 END, 4) AS similarity,
+         ROUND(CASE WHEN len(rt) > 0
+               THEN CAST(len(list_intersect(gt, rt)) AS DOUBLE) / len(rt)
+               ELSE 0 END, 4) AS completeness
+  FROM sets
+)
+SELECT doc_id, consistency, similarity, completeness,
+       ROUND((consistency + similarity + completeness) * 10.0 / 3.0, 4) AS score
+FROM comp
+"""
+
+
 EXTRA_QUERIES = {
     "rag_fulltext_lifecycle": q_rag_fulltext_lifecycle,
     "u3_planned_vector": q_u3_planned_vector,
+    "aq1_answer_quality": q_aq1_answer_quality,
     "g1_chain_sampling": q_g1_chain_sampling,
     "j3_community_membership": q_j3_community_membership,
     "a8_global_search": q_a8_global_search,
@@ -583,6 +637,7 @@ def extra_oracles() -> dict[str, str]:
     return {
         "rag_fulltext_lifecycle": _oracle_rag(),
         "u3_planned_vector": _oracle_u3(),
+        "aq1_answer_quality": ORACLE_AQ1,
         "g1_chain_sampling": ORACLE_G1,
         "j3_community_membership": ORACLE_J3,
         "a8_global_search": ORACLE_A8,

@@ -116,3 +116,29 @@ def test_second_run_is_noop(spark, out_dir):
     run_triples_stage(spark, rf, out_dir, n_buckets=4, metrics=m)
     assert m.buckets_skipped == populated
     assert m.buckets_processed == 0
+
+
+def test_broadcast_guard_is_byte_aware(spark):
+    from deep_reason_spark.plans.kg_pipeline import (
+        broadcast_if_small,
+        estimate_bytes,
+    )
+    small = spark.createDataFrame([(i, "x" * 10) for i in range(100)],
+                                  "id bigint, s string")
+    est = estimate_bytes(small)
+    assert 100 * 18 <= est <= 100 * 18 + 10  # 8B id + 10B string per row
+
+    # wide rows: few rows but big payload → must NOT broadcast
+    wide = spark.createDataFrame([(i, "y" * 100_000) for i in range(50)],
+                                 "id bigint, s string")
+    assert estimate_bytes(wide) > (1 << 20)
+    hinted = broadcast_if_small(small, max_bytes=1 << 20)
+    not_hinted = broadcast_if_small(wide, max_bytes=1 << 20)
+    # over the byte gate the frame comes back UNHINTED — the join strategy
+    # is then Catalyst/AQE's call, not a forced executor-wide broadcast
+    assert not_hinted is wide
+    assert hinted is not small  # hint applied below the gate
+    probe = spark.range(10).withColumnRenamed("id", "id2")
+    p1 = probe.join(hinted, probe.id2 == hinted.id)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p1

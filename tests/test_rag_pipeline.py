@@ -68,6 +68,19 @@ def test_vector_branch_self_retrieval(spark, emb):
     assert out[0].doc_id == 5
 
 
+def test_fulltext_metadata_filter_pushed_down(spark, docs):
+    # ES bool-filter analogue (rag/pipeline.py:258): predicate restricts the
+    # corpus before scoring and reaches the parquet scan as a pushed filter
+    qs = _questions(spark)
+    filtered = fulltext_branch(qs, docs, doc_filter="lang = 'en'")
+    hit_ids = [r.doc_id for r in filtered.collect()]
+    langs = {r.lang for r in
+             docs.where(F.col("doc_id").isin(hit_ids)).select("lang").collect()}
+    assert langs <= {"en"}
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+
+
 def test_rerank_threshold_and_scale(spark, docs):
     qs = _questions(spark)
     retrieved = join_branches(fulltext_branch(qs, docs),
