@@ -10,10 +10,12 @@ synthetic corpus, then prints::
      "queries": {...per-query sec...}, "sf": 0.1,
      "kg_triples_per_sec": ..., "kg_files": ...}
 
-Scaling mode (``--scaling``): runs the SAME KG pipeline at local[8] and
-local[32] via two fresh subprocesses and reports throughput at both plus
-efficiency — the sandbox stand-in for N vs 4N executors (north rule).
-Results are recorded in BASELINE.md.
+Scaling mode (``--scaling``): runs the SAME extraction job at local[N] and
+local[4N] (N = $SPARK_GRAFT_SCALE_N, default 4 → local[4] vs local[16])
+via fresh subprocesses and reports throughput at both plus efficiency —
+the sandbox stand-in for N vs 4N executors (north rule). ``--scaling-full``
+does the same for the FULL pipeline (both stages). Results are recorded in
+BASELINE.md together with the exact configuration that produced them.
 """
 
 from __future__ import annotations
@@ -121,10 +123,11 @@ def run_bench(cpus: str, sf_dir: str, kg_files: int, include_queries: bool = Tru
 
 
 SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "1000000"))
-# N and 4N cores. N=2 keeps BOTH legs below this VM's ~20-thread saturation
-# knee for string-heavy work (see BASELINE.md), so the measurement reflects
-# the engine, not the host ceiling.
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# N and 4N cores. N=4 (local[4] → local[16]) keeps BOTH legs below this
+# VM's ~20-thread saturation knee for string-heavy work (see BASELINE.md),
+# so the measurement reflects the engine, not the host ceiling. This is the
+# ONE configuration used by CLAUDE.md, BASELINE.md and this file alike.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 
 
 def run_triples_only(cpus: str, corpus_dir: str) -> dict:
@@ -155,13 +158,40 @@ def run_triples_only(cpus: str, corpus_dir: str) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def run_scaling() -> dict:
-    """North-rule scaling evidence: the SAME extraction job on the SAME
-    input at N and 4N cores (sandbox stand-in for N vs 4N executors).
+def run_kg_full_only(cpus: str, corpus_dir: str) -> dict:
+    """One FULL-pipeline run (both stages) in a fresh JVM on an existing
+    corpus — the --scaling-full leg."""
+    from deep_reason_spark.datagen import alias_dict_df
+    from deep_reason_spark.plans.kg_pipeline import run_kg_pipeline
+    from deep_reason_spark.session import get_spark
 
-    N=4 by default: this VM's effective parallel capacity saturates near
-    ~20 threads for string-heavy work, so 8→32 measures machine saturation,
-    not the engine (see BASELINE.md)."""
+    out = tempfile.mkdtemp(prefix="kg_fullscale_")
+    spark = get_spark(app_name="scaling-full", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = spark.read.parquet(corpus_dir)
+        t0 = time.monotonic()
+        m = run_kg_pipeline(spark, corpus, alias_dict_df(spark), out,
+                            n_buckets=64, resume=False)
+        wall = time.monotonic() - t0
+        return {"cores": int(cpus), "wall_sec": round(wall, 2),
+                "triples": m.triples_out, "stage_wall_ms": m.wall_ms,
+                "triples_per_sec": round(m.triples_out / wall, 1)}
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_scaling(mode: str = "--triples-only") -> dict:
+    """North-rule scaling evidence: the SAME job on the SAME input at N and
+    4N cores (sandbox stand-in for N vs 4N executors), N=4 by default →
+    local[4] vs local[16]: this VM's effective parallel capacity saturates
+    near ~20 threads for string-heavy work, so 8→32 would measure machine
+    saturation, not the engine (see BASELINE.md).
+
+    mode: ``--triples-only`` = extraction stage (corpus-scale job of the
+    north rule); ``--kg-full-only`` = the full pipeline, both stages."""
     from deep_reason_spark.datagen import generate_repo_files
     from deep_reason_spark.session import get_spark
 
@@ -180,15 +210,17 @@ def run_scaling() -> dict:
             runs = []
             for _ in range(2):
                 out = subprocess.run(
-                    [sys.executable, __file__, "--triples-only", corpus_dir],
+                    [sys.executable, __file__, mode, corpus_dir],
                     env={**os.environ, "SPARK_GRAFT_CPUS": cpus},
                     capture_output=True, text=True, check=True,
                 )
                 runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
             results[cpus] = max(runs, key=lambda r: r["triples_per_sec"])
         lo, hi = results[str(SCALE_N)], results[str(4 * SCALE_N)]
+        label = ("extraction-stage" if mode == "--triples-only"
+                 else "full-pipeline")
         return {
-            "metric": f"extraction-stage scaling local[{SCALE_N}] -> local[{4 * SCALE_N}]",
+            "metric": f"{label} scaling local[{SCALE_N}] -> local[{4 * SCALE_N}]",
             "input_files": SCALE_FILES,
             "low": lo,
             "high": hi,
@@ -204,10 +236,14 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if "--scaling" in sys.argv:
+    if "--scaling-full" in sys.argv:
+        print(json.dumps(run_scaling("--kg-full-only")))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--triples-only" in sys.argv:
         print(json.dumps(run_triples_only(cpus, sys.argv[sys.argv.index("--triples-only") + 1])))
+    elif "--kg-full-only" in sys.argv:
+        print(json.dumps(run_kg_full_only(cpus, sys.argv[sys.argv.index("--kg-full-only") + 1])))
     elif "--kg-only" in sys.argv:
         print(json.dumps(run_bench(cpus, sf_dir, KG_BENCH_FILES, include_queries=False)))
     else:

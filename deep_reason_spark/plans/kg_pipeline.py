@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -241,12 +242,17 @@ def run_graph_stage(
     # derivable from the aggregated edge table + the entity-type map —
     # re-deriving them from raw triples would rescan the corpus 3×.
     if entity_types is None:
-        entity_types = spark.createDataFrame([], "entity_id string, type string")
-    canonical_types = mapping.join(
-        F.broadcast(entity_types), "entity_id", "left"
-    ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
-        F.col("type").isNotNull()
-    ).localCheckpoint()
+        # no type source → the join/groupBy would only produce an empty
+        # frame; skip the two jobs + checkpoint it would cost (the graph
+        # stage is fixed-latency-bound, not data-bound, at this layer)
+        canonical_types = spark.createDataFrame(
+            [], "canonical_id string, type string")
+    else:
+        canonical_types = mapping.join(
+            F.broadcast(entity_types), "entity_id", "left"
+        ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
+            F.col("type").isNotNull()
+        ).localCheckpoint()
 
     ctypes = canonical_types.withColumnRenamed("canonical_id", "entity_id")
     edge_pairs = edge_agg.select(
@@ -280,20 +286,35 @@ def run_graph_stage(
         .distinct()
     )
 
-    for name, df in [("ontology_nodes", onodes), ("ontology_relations", orels),
-                     ("ontology_connections", oconns), ("kg_nodes", kg_nodes),
-                     ("kg_triplets", kg_triplets)]:
+    # The 8 output tables are independent given their checkpointed inputs;
+    # submitting the writes CONCURRENTLY overlaps their fixed job-scheduling
+    # latency (the graph stage is ~30 small jobs — serialized, their setup
+    # cost dominated the stage and capped full-pipeline scaling at 0.56;
+    # VERDICT r1 #10). Spark job submission is thread-safe.
+    def _write_plain(name: str, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
-    write_partitioned(
-        nodes.withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
-        os.path.join(out_dir, NODES_DIR),
-    )
-    write_partitioned(
-        edges.withColumn("bucket", F.pmod(F.xxhash64("source"), F.lit(16)).cast("int")),
-        os.path.join(out_dir, EDGES_DIR),
-    )
-    mapping.write.mode("overwrite").parquet(os.path.join(out_dir, MAPPING_DIR))
+    jobs = [
+        lambda: _write_plain("ontology_nodes", onodes),
+        lambda: _write_plain("ontology_relations", orels),
+        lambda: _write_plain("ontology_connections", oconns),
+        lambda: _write_plain("kg_nodes", kg_nodes),
+        lambda: _write_plain("kg_triplets", kg_triplets),
+        lambda: _write_plain(MAPPING_DIR, mapping),
+        lambda: write_partitioned(
+            nodes.withColumn(
+                "bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
+            os.path.join(out_dir, NODES_DIR),
+        ),
+        lambda: write_partitioned(
+            edges.withColumn(
+                "bucket", F.pmod(F.xxhash64("source"), F.lit(16)).cast("int")),
+            os.path.join(out_dir, EDGES_DIR),
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for fut in [pool.submit(j) for j in jobs]:
+            fut.result()
     metrics.wall_ms["graph"] = int((time.monotonic() - t0) * 1000)
 
     return (
