@@ -29,9 +29,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# the dense relation numbering below is a single-task global sort — correct
+# ONLY while the distinct-predicate registry is vocabulary-scale. The bound
+# is enforced at materialization time (assert_true inside the numbering
+# expression: zero extra jobs, hard failure instead of a silent straggler).
+MAX_RELATIONS = 1 << 20
+
+
 def build_ontology(
     linked_triples: DataFrame,
     entity_types: DataFrame,
+    max_relations: int = MAX_RELATIONS,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """linked triples + (entity_id, type) → (nodes, relations, connections).
 
@@ -52,9 +60,20 @@ def build_ontology(
     )
 
     w = Window.orderBy("relation_name")
+    rn = F.row_number().over(w)
+    guarded = F.when(
+        F.assert_true(
+            rn <= F.lit(max_relations),
+            F.lit(f"ontology relation registry exceeded {max_relations} "
+                  "distinct predicates — no longer vocabulary-scale; the "
+                  "single-task dense numbering in build_ontology must be "
+                  "replaced before running at this cardinality"),
+        ).isNull(),
+        rn,
+    ).otherwise(rn)
     ontology_relations = (
         typed.select(F.col("predicate").alias("relation_name")).distinct()
-        .withColumn("relation_id", F.row_number().over(w).cast("int"))
+        .withColumn("relation_id", guarded.cast("int"))
         .select("relation_id", "relation_name")
     )
 

@@ -193,14 +193,22 @@ def run_graph_stage(
     (kg_agent/agent.py:64-140) into order-free dataflow (§7 hard-part (d))."""
     metrics = metrics or PipelineMetrics()
     t0 = time.monotonic()
+    _last = [t0]
+
+    def _lap(name: str) -> None:
+        now = time.monotonic()
+        metrics.wall_ms[f"graph.{name}"] = int((now - _last[0]) * 1000)
+        _last[0] = now
 
     # The entity side runs on DISTINCT surfaces (vocabulary-scale) — one
     # narrow corpus scan, then everything up to canonical ids happens on the
     # small map, materialized ONCE (localCheckpoint). On a cluster these
     # would be persisted stage tables.
     surface_map = build_surface_map(triples, alias_dict).localCheckpoint()
+    _lap("surface_map")
     ids = surface_map.select("entity_id", "canonical_name").distinct()
     mapping = canonicalize_entities(ids, salt=salt).localCheckpoint()
+    _lap("cc")
 
     # broadcast the surface→canonical map only while it is dictionary-sized;
     # beyond that it must shuffle (a 10^9-entity map cannot live on every
@@ -212,29 +220,33 @@ def run_graph_stage(
     )
     hint = (F.broadcast if estimate_bytes(full_map) <= BROADCAST_MAX_BYTES
             else (lambda df: df))
+    _lap("full_map")
 
-    def side(role: str, id_col: str, canon_col: str, cid_col: str) -> DataFrame:
+    # ONLY canonical ids ride the corpus-scale join (names/entity ids are
+    # vocabulary-scale lookups applied AFTER aggregation): the join output
+    # is as narrow as the edge aggregation needs
+    def side(role: str, cid_col: str) -> DataFrame:
         return full_map.select(
             F.col("surface").alias(role),
-            F.col("entity_id").alias(id_col),
-            F.col("canonical_name").alias(canon_col),
             F.col("canonical_id").alias(cid_col),
         )
 
     canonical = (
         triples
-        .join(hint(side("subject", "subject_id", "subject_canonical", "src")),
-              "subject")
-        .join(hint(side("object", "object_id", "object_canonical", "dst")),
-              "object")
-        # deliberately NOT persisted: each consumer (edge build, node build)
-        # re-derives it from the triples parquet, and Catalyst prunes the
-        # scan to exactly the columns that consumer needs — re-reading a
+        .join(hint(side("subject", "src")), "subject")
+        .join(hint(side("object", "dst")), "object")
+        # deliberately NOT persisted: derived from the triples parquet with
+        # the scan pruned to exactly the consumed columns — re-reading a
         # pruned columnar scan is cheaper than materializing 10^7+ wide
         # rows to storage and reading them back whole
     )
 
-    edge_agg = build_edges(canonical).localCheckpoint()  # reused by degree/ontology/kg
+    titles = full_map.groupBy("canonical_id").agg(
+        F.max_by("canonical_name", F.length("canonical_name")).alias("title"))
+    edge_agg = build_edges(
+        canonical, names=titles.withColumnRenamed("title", "name")
+    ).localCheckpoint()  # reused by degree/ontology/kg
+    _lap("edge_agg")
     edges = add_combined_degree(edge_agg)
 
     # The ontology/KgStructure layer is EDGE-scale, never corpus-scale:
@@ -261,11 +273,11 @@ def run_graph_stage(
     )
     onodes, orels, oconns = build_ontology(edge_pairs, ctypes)
     orels = orels.localCheckpoint()  # tiny; referenced by connections + kg
+    _lap("ontology")
 
-    titles = full_map.groupBy("canonical_id").agg(
-        F.max_by("canonical_name", F.length("canonical_name")).alias("title"))
     nodes = build_nodes_from_edges(
         edge_agg, titles, entity_types=canonical_types).localCheckpoint()
+    _lap("nodes")
     # kg_nodes is a projection of the nodes table (no corpus rescan)
     kg_nodes = nodes.select(
         F.col("id").alias("node_id"), F.col("title").alias("entity_name"),
@@ -315,6 +327,7 @@ def run_graph_stage(
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for fut in [pool.submit(j) for j in jobs]:
             fut.result()
+    _lap("writes")
     metrics.wall_ms["graph"] = int((time.monotonic() - t0) * 1000)
 
     return (

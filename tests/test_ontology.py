@@ -116,3 +116,23 @@ def test_pipeline_writes_ontology_tables(spark, tmp_path):
     ada = nodes.where(F.col("title") == "Ada Lovelace").collect()
     if ada:
         assert ada[0].type == "person"
+
+
+def test_relation_registry_scale_guard_fires(spark):
+    """The dense numbering is a single-task sort — valid only at vocabulary
+    scale; exceeding the bound must fail loudly at materialization (and the
+    guard must survive Catalyst optimization)."""
+    import pytest
+    from deep_reason_spark.operators.ontology import build_ontology
+
+    triples = spark.createDataFrame(
+        [(f"s{i}", f"o{i}", f"pred_{i}") for i in range(5)],
+        "subject_id string, object_id string, predicate string")
+    types = spark.createDataFrame([], "entity_id string, type string")
+    _, orels, _ = build_ontology(triples, types, max_relations=3)
+    with pytest.raises(Exception, match="vocabulary-scale"):
+        orels.collect()
+    # below the bound the numbering is dense and deterministic
+    _, ok, _ = build_ontology(triples, types, max_relations=10)
+    rows = {r.relation_name: r.relation_id for r in ok.collect()}
+    assert rows == {f"pred_{i}": i + 1 for i in range(5)}
