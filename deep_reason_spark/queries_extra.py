@@ -230,6 +230,129 @@ SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 
 
 
 # ---------------------------------------------------------------------------
+# V6 — MULTI-PROBE IVF ANN top-k: rank the query against the coarse
+# centroids (seeded per-label means), probe the NPROBE nearest cells, exact
+# cosine only within probed cells. The scale path when single-cell IVF (V5)
+# misses boundary neighbors: recall grows with NPROBE while the scan stays
+# bounded by NPROBE/num_cells of the corpus. Centroid ranking uses the same
+# exact-decimal folds as the topic assignment, so the probe set (and the
+# full result) is engine-reproducible.
+# ---------------------------------------------------------------------------
+
+_V6_NPROBE = 3
+_V6_K = 2
+
+
+def q_v6_ivf_multiprobe(spark, sf_dir):
+    from deep_reason_spark.operators.topics import seeded_centroids
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    cents = seeded_centroids(load(spark, sf_dir, "embeddings"))
+    cnorm = cents.groupBy("label").agg(
+        F.sqrt(F.sum((F.col("c") * F.col("c")).cast("decimal(28,10)"))
+               .cast("double")).alias("cn"))
+    # query → centroid ranking (exact decimal folds, round 6)
+    qex = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("dim", "val"),
+    )
+    qn = qex.groupBy("qid").agg(
+        F.sqrt(F.sum((F.col("val") * F.col("val")).cast("decimal(28,10)"))
+               .cast("double")).alias("qn"))
+    qdots = (
+        qex.join(F.broadcast(cents), "dim")
+        .groupBy("qid", "label")
+        .agg(F.sum((F.col("val") * F.col("c")).cast("decimal(28,10)"))
+             .cast("double").alias("dot"))
+    )
+    scored = (
+        qdots.join(F.broadcast(qn), "qid").join(F.broadcast(cnorm), "label")
+        .select("qid", "label",
+                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
+                .alias("ccos"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+    probed = (
+        scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= _V6_NPROBE)
+        .select("qid", "label")
+    )
+    # exact cosine only inside probed cells
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qvn"))
+    dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    pairs = (
+        e.join(F.broadcast(probed), "label")
+        .join(F.broadcast(q), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                F.round(F.expr(dot) / (F.col("qvn") * F.col("nrm")), 6)
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _V6_K)
+        .select("qid", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _oracle_v6() -> str:
+    from deep_reason_spark.queries_topics import _SQL_CENTS, _SQL_EX
+    return f"""
+WITH {_SQL_EX},
+{_SQL_CENTS},
+qex AS (SELECT vec_id AS qid, dim, val FROM ex WHERE vec_id < 3),
+qn AS (
+  SELECT qid, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS qn
+  FROM qex GROUP BY qid
+),
+qdots AS (
+  SELECT q.qid, cents.label,
+         CAST(SUM(CAST(q.val * cents.c AS DECIMAL(28,10))) AS DOUBLE) AS dot
+  FROM qex q JOIN cents USING (dim) GROUP BY q.qid, cents.label
+),
+cscored AS (
+  SELECT d.qid, d.label, ROUND(d.dot / (qn.qn * cnorm.cn), 6) AS ccos
+  FROM qdots d JOIN qn USING (qid) JOIN cnorm USING (label)
+),
+probed AS (
+  SELECT qid, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY ccos DESC, label ASC) AS rn
+    FROM cscored
+  ) WHERE rn <= {_V6_NPROBE}
+),
+ev AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM ev),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qvn FROM n WHERE vec_id < 3),
+pairs AS (
+  SELECT q.qid, c.vec_id,
+         ROUND(list_sum(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]))
+               / (q.qvn * c.nrm), 6) AS cosine
+  FROM n c
+  JOIN probed p ON p.label = c.label
+  JOIN q ON q.qid = p.qid
+  WHERE c.vec_id != q.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_V6_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # G3 — exact-length simple paths (2-hop) on the nation-region graph:
 # nation → region → nation, endpoints distinct (cycle check)
 # ---------------------------------------------------------------------------
@@ -628,6 +751,7 @@ EXTRA_QUERIES = {
     "t5_rolling_fingerprint": q_t5_rolling_fingerprint,
     "d6_embedding_neardup": q_d6_embedding_neardup,
     "v5_ivf_topk": q_v5_ivf_topk,
+    "v6_ivf_multiprobe": q_v6_ivf_multiprobe,
     "g3_two_hop_paths": q_g3_two_hop_paths,
     "o1_relation_registry": q_o1_relation_registry,
 }
@@ -646,6 +770,7 @@ def extra_oracles() -> dict[str, str]:
         "t5_rolling_fingerprint": ORACLE_T5,
         "d6_embedding_neardup": ORACLE_D6,
         "v5_ivf_topk": ORACLE_V5,
+        "v6_ivf_multiprobe": _oracle_v6(),
         "g3_two_hop_paths": ORACLE_G3,
         "o1_relation_registry": _oracle_o1(),
     }

@@ -280,8 +280,9 @@ def q_d2_ngram_jaccard(spark, sf_dir):
     )
 
 
-ORACLE_D2 = f"""
-WITH sh0 AS (
+# shared CTE text: shingles → capped blocks → within-block jaccard pairs
+# (reused verbatim by D7's clustering oracle)
+_D2_CTES = f"""sh0 AS (
   SELECT doc_id, source,
          list_distinct([substring(text, i, 3)
                         FOR i IN range(1, GREATEST(length(text) - 1, 2))]) AS shingles
@@ -298,8 +299,54 @@ pairs AS (
          ROUND(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
                len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-)
+)"""
+
+ORACLE_D2 = f"""
+WITH {_D2_CTES}
 SELECT * FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# D7 — near-dup CLUSTERING: verified pairs → connected components →
+# keep-first representative. The end-to-end dedup shape a training-data
+# pipeline actually runs (candidate blocking → verification → transitive
+# grouping → one survivor per group); Spark side reuses the large-star/
+# small-star CC operator, the oracle closes the pairs with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+def q_d7_neardup_clusters(spark, sf_dir):
+    from deep_reason_spark.operators.canonicalize import connected_components
+    pairs = q_d2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    d = load(spark, sf_dir, "documents")
+    out = d.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("bigint").alias("cluster_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+ORACLE_D7 = f"""
+WITH RECURSIVE {_D2_CTES},
+kept AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM kept
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM kept
+),
+reach(doc, anc) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.doc, e.b FROM reach r JOIN e ON e.a = r.anc
+),
+comp AS (SELECT doc, LEAST(doc, MIN(anc)) AS m FROM reach GROUP BY doc)
+SELECT d.doc_id,
+       COALESCE(c.m, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(c.m, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 """
 
 
@@ -541,6 +588,7 @@ TEXT_QUERIES = {
     "t3_lang_guess": q_t3_lang_guess,
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_ngram_jaccard": q_d2_ngram_jaccard,
+    "d7_neardup_clusters": q_d7_neardup_clusters,
     "d3_minhash_signatures": q_d3_minhash_signatures,
     "d4_lsh_buckets": q_d4_lsh_buckets,
     "d5_simhash": q_d5_simhash,
@@ -561,6 +609,7 @@ TEXT_ORACLES = {
     "t3_lang_guess": ORACLE_T3,
     "d1_exact_dedup": ORACLE_D1,
     "d2_ngram_jaccard": ORACLE_D2,
+    "d7_neardup_clusters": ORACLE_D7,
     "d3_minhash_signatures": ORACLE_D3,
     "d4_lsh_buckets": ORACLE_D4,
     "d5_simhash": ORACLE_D5,

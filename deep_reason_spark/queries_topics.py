@@ -54,23 +54,27 @@ ex AS (
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 )"""
 
-# nearest-seeded-centroid assignment (mirrors operators/topics.py
-# seeded_centroids + assign_topics: exact DECIMAL(28,10) folds, round 6)
-_SQL_ASSIGN = """
+# seeded centroids + their norms (mirrors operators/topics.py
+# seeded_centroids: exact DECIMAL(28,10) folds, round 6) — shared with the
+# multi-probe IVF oracle in queries_extra.py
+_SQL_CENTS = """
 cents AS (
   SELECT label, dim,
          ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS c
   FROM ex GROUP BY label, dim
 ),
-vnorm AS (
-  SELECT vec_id,
-         sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS vn
-  FROM ex GROUP BY vec_id
-),
 cnorm AS (
   SELECT label,
          sqrt(CAST(SUM(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE)) AS cn
   FROM cents GROUP BY label
+)"""
+
+# nearest-seeded-centroid assignment (mirrors assign_topics)
+_SQL_ASSIGN = _SQL_CENTS + """,
+vnorm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS vn
+  FROM ex GROUP BY vec_id
 ),
 dots AS (
   SELECT ex.vec_id, cents.label,

@@ -73,3 +73,25 @@ def test_linking_fact_side_never_shuffles(spark):
 def test_broadcast_hint_survives_in_j1(spark):
     plan = _plan(QUERIES["j1_region_stats"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2  # nation AND region broadcast
+
+
+def test_edge_build_has_no_window_and_partial_aggregates(spark):
+    """build_edges must stay a two-level PARTIAL aggregation: no Window
+    (a window would shuffle+sort every supporting row — measured 77% of the
+    graph stage), names joined via broadcast only, provenance as bigints."""
+    from deep_reason_spark.operators.extractor import extract_triples
+    from deep_reason_spark.operators.graph import build_edges
+    from pyspark.sql import functions as F
+
+    triples = extract_triples(chunk_repo_files(generate_repo_files(spark, 50)))
+    linked = link_triples(triples, alias_dict_df(spark))
+    canonical = (linked.withColumn("src", F.col("subject_id"))
+                 .withColumn("dst", F.col("object_id")))
+    edges = build_edges(canonical)
+    plan = _plan(edges)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # partial aggregation present (map-side combine before the shuffle)
+    assert "partial" in plan.lower()
+    # provenance is fixed-width
+    assert dict(edges.dtypes)["text_unit_ids"] == "array<bigint>"
