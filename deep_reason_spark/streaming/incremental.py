@@ -100,3 +100,94 @@ def windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_events(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+):
+    """Custom STATEFUL streaming operator (SURVEY.md §2.9's anticipated
+    ``applyInPandasWithState`` path): collapse each user's event stream into
+    sessions that close after ``gap_seconds`` of inactivity.
+
+    Per micro-batch the handler merges the user's events with the open
+    session carried in state, emits every session that CLOSED (a gap
+    followed it inside the batch), and keeps the still-open tail in state;
+    an event-time timeout (watermark passes last_ts + gap) flushes the tail
+    when the user goes quiet. State per key is ONE (start, end, count)
+    tuple — bounded regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_dir)
+    )
+
+    out_schema = ("user_id bigint, session_start timestamp, "
+                  "session_end timestamp, n_events bigint")
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+            })
+            return
+        ts = pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values()
+        micros = (ts.astype("int64") // 1000).astype("int64")  # ns → µs
+        sessions = []  # closed (start, end, n)
+        if state.exists:
+            cur_start, cur_end, cur_n = state.get
+        else:
+            cur_start = cur_end = None
+            cur_n = 0
+        gap_us = gap_seconds * 1_000_000
+        for t in micros:
+            t = int(t)
+            if cur_start is None:
+                cur_start, cur_end, cur_n = t, t, 1
+            elif t - cur_end <= gap_us:
+                cur_end, cur_n = max(cur_end, t), cur_n + 1
+            else:
+                sessions.append((cur_start, cur_end, cur_n))
+                cur_start, cur_end, cur_n = t, t, 1
+        state.update((cur_start, cur_end, cur_n))
+        state.setTimeoutTimestamp(cur_end // 1000 + gap_seconds * 1000)
+        if sessions:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            })
+
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_sess_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

