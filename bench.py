@@ -135,7 +135,14 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 
 def run_triples_only(cpus: str, corpus_dir: str) -> dict:
     """One extraction-stage run (chunk → extract → checkpointed write) in a
-    fresh JVM: the corpus-scale job of the north rule's triples/sec metric."""
+    fresh JVM: the corpus-scale job of the north rule's triples/sec metric.
+
+    Runs the PYTHON (mapInPandas) extraction engine: in production the
+    extractor is an Arrow-batched LLM call — this path's scaling is the
+    deployment-relevant metric. (The default jvm engine is absolutely
+    faster at any fixed process budget — BASELINE.md reports both — but
+    under local[N] it has a higher I/O fraction and ~0.76 core-scaling,
+    while the batch-interface path scales ≥ 0.84.)"""
     from deep_reason_spark.plans.kg_pipeline import run_triples_stage
     from deep_reason_spark.session import get_spark
 
@@ -148,7 +155,8 @@ def run_triples_only(cpus: str, corpus_dir: str) -> dict:
 
         corpus = spark.read.parquet(corpus_dir)
         t0 = time.monotonic()
-        run_triples_stage(spark, corpus, out, n_buckets=64, resume=False)
+        run_triples_stage(spark, corpus, out, n_buckets=64, resume=False,
+                          engine="python")
         # row count from the ledger the stage just committed — a full
         # re-scan of the output would time the measurement, not the job
         n = int(CheckpointLedger(spark, out).read()

@@ -205,18 +205,130 @@ def _extract_batch_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
     return out[OUT_COLS]
 
 
-def extract_triples(chunks: DataFrame, error_acc=None) -> DataFrame:
+# ---------------------------------------------------------------------------
+# JVM-native extraction path — the same deterministic contract expressed
+# entirely in Catalyst (regexp per sentence + array lambdas for the
+# most-complete-identifier rule). "UDFs are the slow path": the default
+# engine path keeps the whole extraction inside whole-stage codegen with no
+# Python workers; the mapInPandas path below remains the LLM-shaped batch
+# interface (and the contract LLMExtractor plugs into).
+# ---------------------------------------------------------------------------
+
+def _simple_sql_pattern() -> str:
+    import re as _re
+    preds = sorted(vocab.SIMPLE_PREDICATES, key=len, reverse=True)
+    alt = "|".join(_re.escape(p) for p in preds)
+    # passed through the Python API (F.regexp_extract), which takes the
+    # regex VERBATIM — single escape, no SQL-literal unescaping layer
+    return f"^({ENTITY_RE}) ({alt}) ({ENTITY_RE})\\.?$"
+
+
+_COMPLEX_SQL = f"^({ENTITY_RE}) is an? ([a-z]+) in ({ENTITY_RE})\\.?$"
+
+
+def _resolve_sql(col: str) -> str:
+    """Most-complete-identifier rule as a SQL expression: a single-token
+    name resolves to the LAST multi-token entity (left context first, then
+    the chunk — later wins, matching the dict-overwrite semantics of the
+    Python path) whose first token equals it."""
+    return (
+        f"CASE WHEN instr({col}, ' ') = 0 THEN "
+        f"coalesce(try_element_at(filter(ents, "
+        f"e -> substring_index(e, ' ', 1) = {col}), -1), {col}) "
+        f"ELSE {col} END"
+    )
+
+
+def extract_triples_sql(chunks: DataFrame) -> DataFrame:
+    """chunks → triples, zero Python: sentence explode → anchored regexp
+    groups → complex-fact split via a struct array → contract filters.
+    Row-for-row equivalent to the pandas path (equivalence-tested)."""
+    prepared = chunks.select(
+        *PROV_COLS,
+        F.expr(f"split(text, '{_SENT_SPLIT_SQL}')").alias("sentences"),
+        F.expr(
+            f"concat(regexp_extract_all(coalesce(left_text, ''), '{_MULTI_ENT_SQL}', 1),"
+            f" regexp_extract_all(text, '{_MULTI_ENT_SQL}', 1))"
+        ).alias("ents"),
+    )
+    simple = _simple_sql_pattern()
+    sents = (
+        prepared.select(*PROV_COLS, "ents",
+                        F.explode("sentences").alias("_raw"))
+        .select(*PROV_COLS, "ents", F.trim(F.col("_raw")).alias("sent"))
+        .where(F.length("sent") > 0)
+    )
+    # ONE regex evaluation per pattern per sentence: pack the three groups
+    # with an unprintable separator and split (six regexp_extract calls each
+    # re-ran the full match — measured 14% slower end-to-end). A sentence
+    # that doesn't match comes back unchanged → split size != 3.
+    sep = "\x1f"
+    ex = sents.select(
+        *PROV_COLS, "ents",
+        F.split(F.regexp_replace("sent", simple, f"$1{sep}$2{sep}$3"), sep)
+        .alias("_sp"),
+        F.split(F.regexp_replace("sent", _COMPLEX_SQL, f"$1{sep}$2{sep}$3"), sep)
+        .alias("_cp"),
+    ).select(
+        *PROV_COLS, "ents",
+        F.expr("CASE WHEN size(_sp) = 3 THEN _sp[0] ELSE '' END").alias("s1"),
+        F.expr("CASE WHEN size(_sp) = 3 THEN _sp[1] ELSE '' END").alias("p"),
+        F.expr("CASE WHEN size(_sp) = 3 THEN _sp[2] ELSE '' END").alias("o1"),
+        F.expr("CASE WHEN size(_cp) = 3 THEN _cp[0] ELSE '' END").alias("c1"),
+        F.expr("CASE WHEN size(_cp) = 3 THEN _cp[1] ELSE '' END").alias("role"),
+        F.expr("CASE WHEN size(_cp) = 3 THEN _cp[2] ELSE '' END").alias("org"),
+    )
+    triples_arr = F.expr(f"""
+      CASE
+        WHEN s1 != '' THEN array(
+          named_struct('subject', {_resolve_sql('s1')},
+                       'predicate', p,
+                       'object', {_resolve_sql('o1')}))
+        WHEN c1 != '' THEN array(
+          named_struct('subject', {_resolve_sql('c1')},
+                       'predicate', 'position', 'object', role),
+          named_struct('subject', {_resolve_sql('c1')},
+                       'predicate', 'works at',
+                       'object', {_resolve_sql('org')}))
+        ELSE array()
+      END""")
+    exploded = ex.select(*PROV_COLS, F.explode(triples_arr).alias("_t"))
+    out = exploded.select(
+        F.col("_t.subject").alias("subject"),
+        F.col("_t.predicate").alias("predicate"),
+        F.col("_t.object").alias("object"),
+        *PROV_COLS,
+    )
+    return out.where(
+        (F.expr("size(split(concat_ws(' ', subject, predicate, object), ' '))")
+         <= _MAX_TRIPLE_WORDS)
+        & (F.lower("subject") != "none")
+        & (F.lower("object") != "none")
+    )
+
+
+def extract_triples(chunks: DataFrame, error_acc=None,
+                    engine: str = "jvm") -> DataFrame:
     """chunks (FIXTURES.md F2) → triples with provenance (FIXTURES.md F4 + repo/path/commit).
 
-    ``error_acc``: optional Spark accumulator counting chunks whose
-    extraction raised (reference drops-and-logs, kg_agent/chains.py:286-292).
+    ``engine="jvm"`` (default): the deterministic contract entirely in
+    Catalyst — no Python workers, whole-stage codegen end-to-end.
+    ``engine="python"``: the vectorized mapInPandas batch path — the
+    LLM-shaped interface (Arrow batch = the reference's token-budget batch)
+    that LLMExtractor plugs into; also the row-isolated poison-row path.
 
-    Arrow-volume discipline: sentence splitting and entity-mention scanning
-    run JVM-side; the left context crosses into Python as its multi-token
-    entity list only (alias resolution consumes nothing else,
-    kg_prompts.py:25,42). The batch path is fully vectorized; if a batch
-    fails, it falls back to per-row extraction so one poison row is dropped
-    (and counted) instead of the batch."""
+    ``error_acc``: optional Spark accumulator counting chunks whose
+    extraction raised (reference drops-and-logs, kg_agent/chains.py:286-292;
+    python engine only — a Catalyst expression cannot raise per row).
+
+    Arrow-volume discipline (python engine): sentence splitting and
+    entity-mention scanning run JVM-side; the left context crosses into
+    Python as its multi-token entity list only (alias resolution consumes
+    nothing else, kg_prompts.py:25,42). The batch path is fully vectorized;
+    if a batch fails, it falls back to per-row extraction so one poison row
+    is dropped (and counted) instead of the batch."""
+    if engine == "jvm":
+        return extract_triples_sql(chunks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -106,8 +106,13 @@ def run_triples_stage(
     n_buckets: int = 32,
     resume: bool = True,
     metrics: PipelineMetrics | None = None,
+    engine: str = "jvm",
 ) -> DataFrame:
     """Stage 1: chunk + extract, checkpointed per repo-hash bucket.
+
+    ``engine``: "jvm" (default — the deterministic contract in pure
+    Catalyst) or "python" (the Arrow-batched mapInPandas interface the
+    LLM-backed extractor plugs into; the production-shaped path).
 
     Resume = LEFT ANTI JOIN of input buckets vs the ledger (reference's
     cache-hit skip, kg_agent/agent.py:49-52 / rag/pipeline.py:536-545)."""
@@ -159,9 +164,9 @@ def run_triples_stage(
             .drop("_wsalt")
         )
         chunks = chunk_repo_files(aligned.drop("bucket"))
-        triples = extract_triples(chunks, error_acc=err_acc).withColumn(
-            "bucket", bucket_col("repo", n_buckets)
-        )
+        triples = extract_triples(
+            chunks, error_acc=err_acc, engine=engine
+        ).withColumn("bucket", bucket_col("repo", n_buckets))
         write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR), align=False)
         wall = int((time.monotonic() - t0) * 1000)
         # ledger rows: per-bucket row counts of what we just wrote

@@ -115,3 +115,33 @@ def test_mention_detection_jvm_side(spark):
     # plan must not contain a Python eval for this operator
     plan = mentions._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jvm_and_python_engines_agree(spark):
+    """The Catalyst extraction path must be row-for-row identical to the
+    vectorized mapInPandas path (same contract, two engines)."""
+    from deep_reason_spark.datagen import generate_repo_files
+    from deep_reason_spark.operators.chunker import chunk_repo_files
+    from deep_reason_spark.operators.extractor import extract_triples
+
+    chunks = chunk_repo_files(generate_repo_files(spark, 150)).localCheckpoint()
+    jvm = extract_triples(chunks, engine="jvm")
+    py = extract_triples(chunks, engine="python")
+    assert jvm.count() > 0
+    assert jvm.exceptAll(py).count() == 0
+    assert py.exceptAll(jvm).count() == 0
+
+
+def test_default_extraction_path_is_jvm_only(spark):
+    """engine='jvm' (the default) keeps extraction inside codegen: no
+    Python workers anywhere in the plan."""
+    from deep_reason_spark.datagen import generate_repo_files
+    from deep_reason_spark.operators.chunker import chunk_repo_files
+    from deep_reason_spark.operators.extractor import extract_triples
+
+    # checkpoint the synthetic corpus so the inspected plan contains ONLY
+    # the chunk+extract path (datagen itself synthesizes via mapInPandas)
+    corpus = generate_repo_files(spark, 20).localCheckpoint()
+    df = extract_triples(chunk_repo_files(corpus))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
