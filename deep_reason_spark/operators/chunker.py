@@ -47,10 +47,14 @@ def _pieces_expr(max_chunk_chars: int) -> str:
     Paragraph split, empties dropped, oversized paragraphs hard-split into
     ≤ max_chunk_chars slices (the reference baseline truncates at its
     20 000-char merge cap, ``baseline/langchain_baseline.py:53``; we split
-    losslessly instead)."""
+    losslessly instead).
+
+    A paragraph is kept iff it contains a non-whitespace character
+    (``rlike '\\S'`` — ``trim()`` strips only ASCII spaces, so a tab-only
+    "paragraph" would survive it; fuzz-tested)."""
     return f"""
     flatten(transform(
-      filter(split(content, '{PARAGRAPH_SEP}'), p -> length(trim(p)) > 0),
+      filter(split(content, '{PARAGRAPH_SEP}'), p -> p rlike '\\\\S'),
       p -> transform(
              sequence(0, cast(ceil(length(p) / {max_chunk_chars}.0) as int) - 1),
              i -> substring(p, i * {max_chunk_chars} + 1, {max_chunk_chars}))

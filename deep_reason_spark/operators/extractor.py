@@ -99,7 +99,7 @@ def extract_from_text(
 
     out: list[tuple[str, str, str]] = []
     for sent in _SENT_SPLIT.split(text or ""):
-        sent = sent.strip()
+        sent = sent.strip(_ASCII_WS)
         if not sent:
             continue
         m = _SIMPLE.match(sent)
@@ -126,6 +126,11 @@ def extract_from_text(
 
 PROV_COLS = ["document_id", "order_id", "repo", "content_sha256"]
 OUT_COLS = ["subject", "predicate", "object", *PROV_COLS]
+# sentence-trim contract: exactly the Java \s class (ASCII), in BOTH
+# engines — pandas .str.strip() and Python .strip() are unicode-aware and
+# would diverge on \xa0-style exotic spaces (fuzz-tested)
+_ASCII_WS = " \t\n\r\x0b\x0c"
+_TRIM_RE = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
 _MULTI_ENT_SQL = r"([A-Z][a-z]+(?: [A-Z][a-z]+)+)"
 _SENT_SPLIT_SQL = r"(?<=[.!?])\\s+"
 
@@ -143,7 +148,7 @@ def _extract_batch_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
     chunk_idx = np.repeat(np.arange(n), counts)
     flat = pd.Series(
         [s for lst in sent_lists for s in lst], dtype="object"
-    ).str.strip()
+    ).str.strip(_ASCII_WS)
 
     simple = flat.str.extract(_SIMPLE)
     comp = flat.str.extract(_COMPLEX)
@@ -255,7 +260,8 @@ def extract_triples_sql(chunks: DataFrame) -> DataFrame:
     sents = (
         prepared.select(*PROV_COLS, "ents",
                         F.explode("sentences").alias("_raw"))
-        .select(*PROV_COLS, "ents", F.trim(F.col("_raw")).alias("sent"))
+        .select(*PROV_COLS, "ents",
+                F.regexp_replace(F.col("_raw"), _TRIM_RE, "").alias("sent"))
         .where(F.length("sent") > 0)
     )
     # ONE regex evaluation per pattern per sentence: pack the three groups
