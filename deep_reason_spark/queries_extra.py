@@ -353,6 +353,79 @@ FROM ranked WHERE rank <= {_V6_K}
 
 
 # ---------------------------------------------------------------------------
+# CY — text2cypher execution (baseline/langchain_baseline_graph.py): the
+# reference LLM-generates Cypher, validates and runs it on Neo4j; here a
+# restricted-Cypher compiler runs the SAME query shapes directly on the
+# engine's edges/nodes DataFrames. The fixture graph is TPC-H-derived:
+# customer -[:from]-> nation -[:in_region]-> region.
+# ---------------------------------------------------------------------------
+
+def _cy_graph(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    c = load(spark, sf_dir, "customer")
+    e1 = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("source"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("target"),
+        F.lit("from").alias("description"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("source"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("target"),
+        F.lit("in_region").alias("description"),
+    )
+    nodes = (
+        c.select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"),
+                 F.col("c_name").alias("title"))
+        .unionByName(n.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+            F.col("n_name").alias("title")))
+        .unionByName(r.select(
+            F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"),
+            F.col("r_name").alias("title")))
+    )
+    return e1.unionByName(e2), nodes
+
+
+CY1 = ("MATCH (c)-[:from]->(n)-[:in_region]->(r) "
+       "WHERE r.title = 'ASIA' "
+       "RETURN n.title AS nation, count(c) AS n_customers "
+       "ORDER BY n_customers DESC, nation LIMIT 10")
+
+CY2 = ("MATCH (n)-[:in_region]->(r) "
+       "RETURN r.title AS region, count(DISTINCT n) AS n_nations")
+
+
+def q_cy1_text2cypher_agg(spark, sf_dir):
+    from deep_reason_spark.operators.cypher import run_cypher
+    edges, nodes = _cy_graph(spark, sf_dir)
+    return run_cypher(CY1, edges, nodes)
+
+
+ORACLE_CY1 = """
+SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY n_customers DESC, nation LIMIT 10
+"""
+
+
+def q_cy2_text2cypher_distinct(spark, sf_dir):
+    from deep_reason_spark.operators.cypher import run_cypher
+    edges, nodes = _cy_graph(spark, sf_dir)
+    return run_cypher(CY2, edges, nodes)
+
+
+ORACLE_CY2 = """
+SELECT r.r_name AS region, COUNT(DISTINCT n.n_nationkey) AS n_nations
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # G3 — exact-length simple paths (2-hop) on the nation-region graph:
 # nation → region → nation, endpoints distinct (cycle check)
 # ---------------------------------------------------------------------------
@@ -752,6 +825,8 @@ EXTRA_QUERIES = {
     "d6_embedding_neardup": q_d6_embedding_neardup,
     "v5_ivf_topk": q_v5_ivf_topk,
     "v6_ivf_multiprobe": q_v6_ivf_multiprobe,
+    "cy1_text2cypher_agg": q_cy1_text2cypher_agg,
+    "cy2_text2cypher_distinct": q_cy2_text2cypher_distinct,
     "g3_two_hop_paths": q_g3_two_hop_paths,
     "o1_relation_registry": q_o1_relation_registry,
 }
@@ -771,6 +846,8 @@ def extra_oracles() -> dict[str, str]:
         "d6_embedding_neardup": ORACLE_D6,
         "v5_ivf_topk": ORACLE_V5,
         "v6_ivf_multiprobe": _oracle_v6(),
+        "cy1_text2cypher_agg": ORACLE_CY1,
+        "cy2_text2cypher_distinct": ORACLE_CY2,
         "g3_two_hop_paths": ORACLE_G3,
         "o1_relation_registry": _oracle_o1(),
     }
