@@ -196,12 +196,9 @@ def run_kg_full_only(cpus: str, corpus_dir: str) -> dict:
 
 def run_scaling(mode: str = "--triples-only") -> dict:
     """North-rule scaling evidence: the SAME job on the SAME input at N and
-    4N cores (sandbox stand-in for N vs 4N executors), N=4 by default →
-    local[4] vs local[16]: this VM's effective parallel capacity saturates
-    near ~20 threads for string-heavy work, so 8→32 would measure machine
-    saturation, not the engine (see BASELINE.md).
-
-    N=2 by default — see the SCALE_N comment for the process-count math.
+    4N cores (sandbox stand-in for N vs 4N executors). N=2 by default →
+    local[2] vs local[8]; see the SCALE_N comment above for the
+    process-count math behind that single sanctioned pair.
 
     mode: ``--triples-only`` = extraction stage (corpus-scale job of the
     north rule); ``--kg-full-only`` = the full pipeline, both stages."""

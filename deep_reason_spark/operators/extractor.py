@@ -267,22 +267,27 @@ def extract_triples_sql(chunks: DataFrame) -> DataFrame:
     # ONE regex evaluation per pattern per sentence: pack the three groups
     # with an unprintable separator and split (six regexp_extract calls each
     # re-ran the full match — measured 14% slower end-to-end). A sentence
-    # that doesn't match comes back unchanged → split size != 3.
+    # that doesn't match comes back unchanged → split size != 3. Sentences
+    # that CONTAIN the separator are excluded up front (_clean): they can
+    # never match the anchored entity patterns ([A-Za-z .?!] only), but
+    # without the guard their own \\x1f bytes would masquerade as packed
+    # groups and fabricate triples (found by review, regression-tested).
     sep = "\x1f"
+    sents = sents.withColumn("_clean", F.instr(F.col("sent"), sep) == 0)
     ex = sents.select(
-        *PROV_COLS, "ents",
+        *PROV_COLS, "ents", "_clean",
         F.split(F.regexp_replace("sent", simple, f"$1{sep}$2{sep}$3"), sep)
         .alias("_sp"),
         F.split(F.regexp_replace("sent", _COMPLEX_SQL, f"$1{sep}$2{sep}$3"), sep)
         .alias("_cp"),
     ).select(
         *PROV_COLS, "ents",
-        F.expr("CASE WHEN size(_sp) = 3 THEN _sp[0] ELSE '' END").alias("s1"),
-        F.expr("CASE WHEN size(_sp) = 3 THEN _sp[1] ELSE '' END").alias("p"),
-        F.expr("CASE WHEN size(_sp) = 3 THEN _sp[2] ELSE '' END").alias("o1"),
-        F.expr("CASE WHEN size(_cp) = 3 THEN _cp[0] ELSE '' END").alias("c1"),
-        F.expr("CASE WHEN size(_cp) = 3 THEN _cp[1] ELSE '' END").alias("role"),
-        F.expr("CASE WHEN size(_cp) = 3 THEN _cp[2] ELSE '' END").alias("org"),
+        F.expr("CASE WHEN _clean AND size(_sp) = 3 THEN _sp[0] ELSE '' END").alias("s1"),
+        F.expr("CASE WHEN _clean AND size(_sp) = 3 THEN _sp[1] ELSE '' END").alias("p"),
+        F.expr("CASE WHEN _clean AND size(_sp) = 3 THEN _sp[2] ELSE '' END").alias("o1"),
+        F.expr("CASE WHEN _clean AND size(_cp) = 3 THEN _cp[0] ELSE '' END").alias("c1"),
+        F.expr("CASE WHEN _clean AND size(_cp) = 3 THEN _cp[1] ELSE '' END").alias("role"),
+        F.expr("CASE WHEN _clean AND size(_cp) = 3 THEN _cp[2] ELSE '' END").alias("org"),
     )
     triples_arr = F.expr(f"""
       CASE

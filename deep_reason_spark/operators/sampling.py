@@ -85,9 +85,18 @@ def frontier_walk(
     per-partition top-K + single merge), so the walk is O(cap × avg_degree)
     per step regardless of graph size — a 10⁴-degree hub costs one bounded
     fan-out, not an exponential blow-up."""
+    b = bidirectional(edges).localCheckpoint()
+    return _frontier_walk_over(b, chain_length, frontier_cap, seed)
+
+
+def _frontier_walk_over(
+    b: DataFrame, chain_length: int, frontier_cap: int, seed: int
+) -> DataFrame:
+    """Walk over an already-materialized bidirectional edge set (callers
+    that also need ``b`` — e.g. endpoint rejection — pass it in, so the
+    corpus-scale union+distinct runs exactly once)."""
     if chain_length < 2:
         raise ValueError("chain_length must be >= 2")
-    b = bidirectional(edges).localCheckpoint()
     rank = _chain_rank(seed)
     frontier = (
         b.select(F.array("src", "dst").alias("chain"))
@@ -119,14 +128,14 @@ def sample_chains(
     md5 also exists in DuckDB, so the full sample is oracle-able)."""
     if frontier_cap is None:
         frontier_cap = max(n_chains * 8, 64)
-    paths = frontier_walk(edges, chain_length, frontier_cap, seed)
+    b = bidirectional(edges).localCheckpoint()
+    paths = _frontier_walk_over(b, chain_length, frontier_cap, seed)
     # uniqueness up to reversal (sampling.py:140-144)
     canonical = F.when(
         F.col("chain") <= F.reverse("chain"), F.col("chain")
     ).otherwise(F.reverse("chain"))
     paths = paths.select(canonical.alias("chain")).distinct()
     if reject_connected_endpoints:
-        b = bidirectional(edges)
         ends = paths.select(
             "chain",
             F.element_at("chain", 1).alias("src"),

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKENS = ("array_distinct(filter(split(lower({col}), '[^a-z0-9]+'),"
+from deep_reason_spark.operators.topics import TOKEN_SPLIT
+
+# the ONE cross-engine tokenization contract (mirrored by every DuckDB
+# oracle) — always reference TOKEN_SPLIT, never re-type the pattern
+_TOKENS = (f"array_distinct(filter(split(lower({{col}}), '{TOKEN_SPLIT}'),"
            " w -> length(w) > 1))")
 
 

@@ -74,8 +74,12 @@ def estimate_bytes(df: DataFrame) -> int:
             sizes.append(F.lit(4))
         elif t == "boolean":
             sizes.append(F.lit(1))
-        else:  # arrays/structs: serialize-width unknown — assume heavy
-            sizes.append(F.lit(64))
+        else:
+            # arrays/structs/maps: measure the real payload via its JSON
+            # serialization length — a flat per-row guess under-prices a
+            # 5 KB array as 64 B and broadcasts gigabytes (review finding)
+            sizes.append(
+                F.coalesce(F.octet_length(F.to_json(F.col(f_.name))), F.lit(0)))
     total = sum(sizes[1:], sizes[0]) if sizes else F.lit(0)
     row = df.agg(F.sum(total.cast("bigint")).alias("b")).first()
     return int(row["b"] or 0)

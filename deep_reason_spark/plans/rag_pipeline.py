@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deep_reason_spark.operators.topics import TOKEN_SPLIT
+
 STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
 RETRIEVING_TOP_K = 3          # rag/pipeline.py:97
 RERANK_KEEP_THRESHOLD = 2.0   # rag/pipeline.py:391-393
@@ -40,7 +42,7 @@ def extract_keywords(questions: DataFrame) -> DataFrame:
         "question_id",
         F.explode(
             F.expr(
-                "array_distinct(filter(split(lower(question), '[^a-z0-9]+'),"
+                f"array_distinct(filter(split(lower(question), '{TOKEN_SPLIT}'),"
                 f" w -> length(w) > 1 AND w NOT IN ({stop})))"
             )
         ).alias("keyword"),
@@ -140,7 +142,7 @@ def hash_embed(planned: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     toks = planned.select(
         "question_id", "query_id",
         F.explode(F.expr(
-            "filter(split(lower(query_text), '[^a-z0-9]+'), w -> length(w) > 1)"
+            f"filter(split(lower(query_text), '{TOKEN_SPLIT}'), w -> length(w) > 1)"
         )).alias("w"),
     )
     comp = toks.select(

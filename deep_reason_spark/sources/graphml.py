@@ -45,6 +45,12 @@ def write_graphml(
 
     node_attrs: dict[str, dict[str, str]] = {}
     if nodes is not None:
+        n_nodes = nodes.count()
+        if n_nodes > max_rows:
+            raise ValueError(
+                f"refusing to export {n_nodes} nodes to XML (> {max_rows}); "
+                "GraphML is an interop format for vocabulary-scale graphs"
+            )
         attr_cols = [c for c in nodes.columns if c != "id"]
         for r in nodes.collect():
             node_attrs[str(r["id"])] = {c: str(r[c]) for c in attr_cols

@@ -113,12 +113,15 @@ def sessionize_events(
     ``applyInPandasWithState`` path): collapse each user's event stream into
     sessions that close after ``gap_seconds`` of inactivity.
 
-    Per micro-batch the handler merges the user's events with the open
-    session carried in state, emits every session that CLOSED (a gap
-    followed it inside the batch), and keeps the still-open tail in state;
-    an event-time timeout (watermark passes last_ts + gap) flushes the tail
-    when the user goes quiet. State per key is ONE (start, end, count)
-    tuple — bounded regardless of stream length."""
+    Per micro-batch the handler sweeps the batch's events into gap-bounded
+    intervals, MERGES the open session carried in state into that interval
+    list (so a late-but-in-watermark event can extend a session's START
+    downward or bridge two intervals — review finding), emits every
+    interval except the newest (those are closed: a gap separates them),
+    and keeps the newest as the open tail in state; an event-time timeout
+    (watermark passes tail_end + gap) flushes the tail when the user goes
+    quiet. State per key is ONE (start, end, count) tuple — bounded
+    regardless of stream length."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = (
@@ -149,24 +152,36 @@ def sessionize_events(
             return
         ts = pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values()
         micros = (ts.astype("int64") // 1000).astype("int64")  # ns → µs
-        sessions = []  # closed (start, end, n)
-        if state.exists:
-            cur_start, cur_end, cur_n = state.get
-        else:
-            cur_start = cur_end = None
-            cur_n = 0
         gap_us = gap_seconds * 1_000_000
+        # 1. sweep the batch into gap-bounded intervals
+        intervals: list[tuple[int, int, int]] = []
+        cur = None
         for t in micros:
             t = int(t)
-            if cur_start is None:
-                cur_start, cur_end, cur_n = t, t, 1
-            elif t - cur_end <= gap_us:
-                cur_end, cur_n = max(cur_end, t), cur_n + 1
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] <= gap_us:
+                cur[1], cur[2] = max(cur[1], t), cur[2] + 1
             else:
-                sessions.append((cur_start, cur_end, cur_n))
-                cur_start, cur_end, cur_n = t, t, 1
-        state.update((cur_start, cur_end, cur_n))
-        state.setTimeoutTimestamp(cur_end // 1000 + gap_seconds * 1000)
+                intervals.append(tuple(cur))
+                cur = [t, t, 1]
+        if cur is not None:
+            intervals.append(tuple(cur))
+        # 2. merge the open state interval in (late events may overlap it,
+        # extend its start, or bridge neighbors — counts add)
+        if state.exists:
+            intervals.append(tuple(state.get))
+        intervals.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e_, n in intervals:
+            if merged and s - merged[-1][1] <= gap_us:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e_), pn + n)
+            else:
+                merged.append((s, e_, n))
+        sessions, tail = merged[:-1], merged[-1]
+        state.update(tail)
+        state.setTimeoutTimestamp(tail[1] // 1000 + gap_seconds * 1000)
         if sessions:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(sessions),

@@ -145,3 +145,22 @@ def test_default_extraction_path_is_jvm_only(spark):
     df = extract_triples(chunk_repo_files(corpus))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_jvm_engine_does_not_fabricate_from_separator_bytes(spark):
+    """Review regression: content containing U+001F (the group-packing
+    separator) must never masquerade as regex groups in the jvm engine."""
+    from deep_reason_spark.datagen import generate_repo_files  # noqa: F401
+    from deep_reason_spark.operators.chunker import chunk_repo_files
+    from deep_reason_spark.operators.extractor import extract_triples
+
+    probe = spark.createDataFrame(
+        [("r", "f", "c" * 40, "txt",
+          "alpha \x1f beta \x1f gamma. Ada Lovelace developed Query Engine.")],
+        "repo string, path string, commit string, lang string, content string")
+    chunks = chunk_repo_files(probe).localCheckpoint()
+    jvm = {(r.subject, r.predicate, r.object)
+           for r in extract_triples(chunks, engine="jvm").collect()}
+    py = {(r.subject, r.predicate, r.object)
+          for r in extract_triples(chunks, engine="python").collect()}
+    assert jvm == py == {("Ada Lovelace", "developed", "Query Engine")}

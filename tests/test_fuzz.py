@@ -18,6 +18,7 @@ _NASTY = [
     "\\n", "\\s", "\\", "'", '"', "''", "$1", "`", "{}", "[^a-z]", "(?i)",
     ".*", "a|b", "\t", "\r", "x1f\x1f", "é", "Ж", "日本", "𝔘𝔫𝔦", " ",
     "sss", " s ", "None", "none", "NONE.",
+    "a \x1f b \x1f c.",  # group-packing separator bytes (review regression)
 ]
 
 

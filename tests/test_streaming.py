@@ -128,3 +128,38 @@ def test_stateful_sessionization(spark, tmp_path):
     # gap property: every emitted session spans <= its own events' gap rule
     for u, s, e, n in got:
         assert n >= 1
+
+
+def test_sessionization_late_event_extends_session_start(spark, tmp_path):
+    """Review regression: a late-but-in-watermark event EARLIER than the
+    open session's start must extend the session downward, not leave the
+    boundary at the later timestamp."""
+    import datetime as dt
+
+    from deep_reason_spark.streaming.incremental import sessionize_events
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess")
+    t0 = dt.datetime(2026, 2, 1, 12, 0, 0)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def write(spec):
+        rows = [(eid, t0 + dt.timedelta(minutes=m), 1, "e", 1.0, "{}")
+                for eid, m in spec]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    write([(1, 0), (2, 5)])                      # 12:00, 12:05
+    sessionize_events(spark, src, out, gap_seconds=1800,
+                      watermark="2 hours").awaitTermination(120)
+    write([(3, -10), (4, 600)])                  # 11:50 late + far-future flush
+    sessionize_events(spark, src, out, gap_seconds=1800,
+                      watermark="2 hours").awaitTermination(120)
+    write([(5, 900)])                            # advance watermark → flush all
+    sessionize_events(spark, src, out, gap_seconds=1800,
+                      watermark="2 hours").awaitTermination(120)
+
+    got = {(r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M"),
+            r.n_events)
+           for r in spark.read.parquet(out + "/sessions").collect()}
+    assert ("11:50", "12:05", 3) in got  # start extended by the late event
