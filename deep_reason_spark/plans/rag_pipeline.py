@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deep_reason_spark.functions.cosine import cosine_topk, explode_vec
 from deep_reason_spark.operators.topics import TOKEN_SPLIT
 
 STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
@@ -169,40 +170,18 @@ def planned_vector_branch(
     retrieve cosine top-k per PLANNED query, union, content-dedup (A6).
 
     Scale shape: the planned-query vectors are sparse (≤ tokens per query)
-    and broadcast; the corpus embedding explodes once to (doc, dim, val) —
-    an inverted index over dimensions — so the dot product is a broadcast
-    join + partial-aggregable groupBy, never a crossJoin against a wide
-    query set. Dot products fold on exact decimals (parity + determinism)."""
+    and byte-gate broadcast; the corpus embedding explodes once to
+    (doc, dim, val) — an inverted index over dimensions — so the dot product
+    is a broadcast join + partial-aggregable groupBy, never a crossJoin
+    against a wide query set. All of that lives in the shared exact-decimal
+    ``cosine_topk`` (functions/cosine.py)."""
     qvec = hash_embed(plan_queries(questions))
-    qn = qvec.groupBy("question_id", "query_id").agg(
-        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("qn"))
-    cand = embeddings.select(
-        F.col("vec_id").alias("doc_id"),
-        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
-        .alias("dim", "val"),
-    )
-    cn = cand.groupBy("doc_id").agg(
-        F.sqrt(F.sum((F.col("val") * F.col("val")).cast("decimal(28,10)"))
-               .cast("double")).alias("cn"))
-    dots = (
-        cand.join(F.broadcast(qvec), "dim")
-        .groupBy("question_id", "query_id", "doc_id")
-        .agg(F.sum((F.col("val") * F.col("q")).cast("decimal(28,10)"))
-             .cast("double").alias("dot"))
-    )
-    scored = (
-        dots.join(F.broadcast(qn), ["question_id", "query_id"])
-        .join(cn, "doc_id")
-        .select("question_id", "query_id", "doc_id",
-                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cos"))
-    )
-    w = Window.partitionBy("question_id", "query_id").orderBy(
-        F.desc("cos"), F.asc("doc_id"))
-    hits = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= top_k)
-        .select("question_id", "doc_id")
-    )
+    cand = explode_vec(embeddings, ["vec_id"], "embedding", aliases=["doc_id"])
+    hits = cosine_topk(
+        cand, qvec, item_ids=["doc_id"], probe_ids=["question_id", "query_id"],
+        k=top_k, partition="probe", score_name="cos",
+        item_val="val", probe_val="q",
+    ).select("question_id", "doc_id")
     # A6 content dedup across the planned-query union (join node dedups by
     # content, rag/pipeline.py:336-347): identical texts keep the smallest id
     with_fp = hits.join(

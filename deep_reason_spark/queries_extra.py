@@ -244,42 +244,21 @@ _V6_K = 2
 
 
 def q_v6_ivf_multiprobe(spark, sf_dir):
+    from deep_reason_spark.functions.cosine import cosine_topk, explode_vec
     from deep_reason_spark.operators.topics import seeded_centroids
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
     cents = seeded_centroids(load(spark, sf_dir, "embeddings"))
-    cnorm = cents.groupBy("label").agg(
-        F.sqrt(F.sum((F.col("c") * F.col("c")).cast("decimal(28,10)"))
-               .cast("double")).alias("cn"))
-    # query → centroid ranking (exact decimal folds, round 6)
-    qex = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
-        .alias("dim", "val"),
-    )
-    qn = qex.groupBy("qid").agg(
-        F.sqrt(F.sum((F.col("val") * F.col("val")).cast("decimal(28,10)"))
-               .cast("double")).alias("qn"))
-    qdots = (
-        qex.join(F.broadcast(cents), "dim")
-        .groupBy("qid", "label")
-        .agg(F.sum((F.col("val") * F.col("c")).cast("decimal(28,10)"))
-             .cast("double").alias("dot"))
-    )
-    scored = (
-        qdots.join(F.broadcast(qn), "qid").join(F.broadcast(cnorm), "label")
-        .select("qid", "label",
-                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
-                .alias("ccos"))
-    )
-    wp = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
-    probed = (
-        scored.withColumn("_rn", F.row_number().over(wp))
-        .where(F.col("_rn") <= _V6_NPROBE)
-        .select("qid", "label")
-    )
+    # query → centroid ranking via the shared exact-decimal cosine_topk
+    qex = explode_vec(
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 3),
+        ["vec_id"], "embedding", aliases=["qid"])
+    probed = cosine_topk(
+        qex, cents, item_ids=["qid"], probe_ids=["label"], k=_V6_NPROBE,
+        partition="item", score_name="ccos", item_val="val", probe_val="c",
+    ).select("qid", "label")
     # exact cosine only inside probed cells
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
@@ -302,31 +281,18 @@ def q_v6_ivf_multiprobe(spark, sf_dir):
 
 
 def _oracle_v6() -> str:
+    from deep_reason_spark.functions.cosine import cosine_topk_sql
     from deep_reason_spark.queries_topics import _SQL_CENTS, _SQL_EX
+    rank_cte = cosine_topk_sql(
+        items="qex", probes="cents", item_ids=["qid"], probe_ids=["label"],
+        k=_V6_NPROBE, partition="item", score_name="ccos",
+        item_val="val", probe_val="c", out="ck_probe", prefix="pr_")
     return f"""
 WITH {_SQL_EX},
 {_SQL_CENTS},
 qex AS (SELECT vec_id AS qid, dim, val FROM ex WHERE vec_id < 3),
-qn AS (
-  SELECT qid, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS qn
-  FROM qex GROUP BY qid
-),
-qdots AS (
-  SELECT q.qid, cents.label,
-         CAST(SUM(CAST(q.val * cents.c AS DECIMAL(28,10))) AS DOUBLE) AS dot
-  FROM qex q JOIN cents USING (dim) GROUP BY q.qid, cents.label
-),
-cscored AS (
-  SELECT d.qid, d.label, ROUND(d.dot / (qn.qn * cnorm.cn), 6) AS ccos
-  FROM qdots d JOIN qn USING (qid) JOIN cnorm USING (label)
-),
-probed AS (
-  SELECT qid, label FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                 ORDER BY ccos DESC, label ASC) AS rn
-    FROM cscored
-  ) WHERE rn <= {_V6_NPROBE}
-),
+{rank_cte},
+probed AS (SELECT qid, label FROM ck_probe),
 ev AS (
   SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
   FROM embeddings
@@ -678,8 +644,14 @@ def q_u3_planned_vector(spark, sf_dir):
 
 
 def _oracle_u3() -> str:
+    from deep_reason_spark.functions.cosine import cosine_topk_sql
     vals = ", ".join(f"({i}, '{q}')" for i, q in _RAG_QS)
     stop = ", ".join(f"'{w}'" for w in _RAG_STOP)
+    _u3_rank_cte = cosine_topk_sql(
+        items="cand", probes="qvec", item_ids=["doc_id"],
+        probe_ids=["question_id", "query_id"], k=3, partition="probe",
+        score_name="cos", item_val="val", probe_val="qcomp",
+        out="ck_hits", prefix="u3_")
     return f"""
 WITH q(question_id, question) AS (VALUES {vals}),
 kw AS (
@@ -720,37 +692,13 @@ qvec AS (
   FROM comp GROUP BY question_id, query_id, dim
   HAVING CAST(SUM(s) AS BIGINT) != 0
 ),
-qn AS (
-  SELECT question_id, query_id, sqrt(CAST(SUM(qcomp * qcomp) AS DOUBLE)) AS qn
-  FROM qvec GROUP BY question_id, query_id
-),
 cand AS (
   SELECT vec_id AS doc_id, CAST(i AS INT) - 1 AS dim,
          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 ),
-cn AS (
-  SELECT doc_id, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS cn
-  FROM cand GROUP BY doc_id
-),
-dots AS (
-  SELECT qv.question_id, qv.query_id, c.doc_id,
-         CAST(SUM(CAST(c.val * qv.qcomp AS DECIMAL(28,10))) AS DOUBLE) AS dot
-  FROM cand c JOIN qvec qv USING (dim)
-  GROUP BY qv.question_id, qv.query_id, c.doc_id
-),
-scored AS (
-  SELECT d.question_id, d.query_id, d.doc_id,
-         ROUND(d.dot / (qn.qn * cn.cn), 6) AS cos
-  FROM dots d JOIN qn USING (question_id, query_id) JOIN cn USING (doc_id)
-),
-hits AS (
-  SELECT question_id, doc_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY question_id, query_id
-                                 ORDER BY cos DESC, doc_id ASC) AS rn
-    FROM scored
-  ) WHERE rn <= 3
-),
+{_u3_rank_cte},
+hits AS (SELECT question_id, doc_id FROM ck_hits),
 fp AS (
   SELECT h.question_id, h.doc_id, md5(d.text) AS fp
   FROM hits h JOIN documents d USING (doc_id)

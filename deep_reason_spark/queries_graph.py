@@ -1,0 +1,262 @@
+"""Driver-contract queries, batch 6 — community detection (c1), index-side
+community reports + global-search reduce (c2), and GraphRAG local-search
+context assembly (ls1). VERDICT r2 tasks 5/6/8.
+
+Fixture graph (all three queries): the supplier co-order graph — suppliers
+are entities, an edge (s1, s2) carries weight = number of orders both
+supply. Communities = connected components of the modularity-style-pruned
+graph (weight ≥ 30, endpoint degree ≤ 8); the DuckDB oracles replay the
+pruning and close the components with a recursive CTE (the proven d7/g1
+oracle pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deep_reason_spark.operators.communities import (
+    community_reports,
+    detect_communities,
+    global_search_reports,
+    prune_edges,
+)
+from deep_reason_spark.plans.graph_search import local_search_context
+from deep_reason_spark.queries import load
+
+_CG_MIN_W = 30
+_CG_MAX_DEG = 8
+
+# shared oracle CTE chain: co-order weighted edges + modularity-style cut +
+# recursive-CTE transitive closure → per-supplier community label
+_SQL_COMM = f"""
+ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pw AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+  FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+strong AS (SELECT s1, s2, w FROM pw WHERE w >= {_CG_MIN_W}),
+und AS (SELECT s1 AS u, s2 AS v FROM strong UNION SELECT s2, s1 FROM strong),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+keep AS (
+  SELECT s1, s2, w FROM strong
+  JOIN deg d1 ON d1.u = strong.s1 JOIN deg d2 ON d2.u = strong.s2
+  WHERE d1.d <= {_CG_MAX_DEG} AND d2.d <= {_CG_MAX_DEG}
+),
+e AS (SELECT s1 AS a, s2 AS b FROM keep UNION SELECT s2 AS a, s1 AS b FROM keep),
+reach(n, anc) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.anc
+),
+comp AS (SELECT n, LEAST(n, MIN(anc)) AS m FROM reach GROUP BY n),
+allsup AS (SELECT DISTINCT l_suppkey AS n FROM lineitem),
+asg AS (
+  SELECT n AS entity_id, COALESCE(m, n) AS community_id
+  FROM allsup LEFT JOIN comp USING (n)
+)"""
+
+
+def _supplier_edges(spark, sf_dir):
+    """(src, dst, weight): suppliers co-occurring in an order, weight =
+    number of shared orders. One distinct + one self-equi-join on the order
+    key + one partial-aggregable groupBy — the 100 TB shape for
+    co-occurrence edges (the join fans out per order, never per corpus)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .groupBy(F.col("a.l_suppkey").alias("src"),
+                 F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def _supplier_nodes(spark, sf_dir):
+    return (load(spark, sf_dir, "lineitem")
+            .select(F.col("l_suppkey").alias("node")).distinct())
+
+
+# ---------------------------------------------------------------------------
+# C1 — community detection: every supplier labeled with its community
+# (min entity id of its pruned-graph component; singletons label themselves)
+# ---------------------------------------------------------------------------
+
+def q_c1_communities(spark, sf_dir):
+    asg = detect_communities(
+        _supplier_edges(spark, sf_dir),
+        all_nodes=_supplier_nodes(spark, sf_dir),
+        weight_col="weight", min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG,
+    )
+    return asg.select(
+        F.col("entity_id").cast("bigint").alias("entity_id"),
+        F.col("community_id").cast("bigint").alias("community_id"),
+    )
+
+
+ORACLE_C1 = f"""
+WITH RECURSIVE {_SQL_COMM}
+SELECT entity_id, community_id FROM asg
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2 — index-side community reports + the A8 global-search reduce reading
+# them: per-community rollup (members, internal edges/weight, top members
+# by internal degree, 0-10 rating), ranked, top-10 kept
+# ---------------------------------------------------------------------------
+
+def q_c2_community_reports(spark, sf_dir):
+    edges = _supplier_edges(spark, sf_dir)
+    kept = prune_edges(edges, weight_col="weight",
+                       min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG)
+    asg = detect_communities(
+        edges, all_nodes=_supplier_nodes(spark, sf_dir),
+        weight_col="weight", min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG,
+    )
+    reports = community_reports(asg, kept, top_members=4)
+    return global_search_reports(reports, k=10).select(
+        F.col("community_id").cast("bigint").alias("community_id"),
+        "title", "n_members", "n_internal_edges", "total_weight",
+        "top_members", "rating", "rank",
+    )
+
+
+ORACLE_C2 = f"""
+WITH RECURSIVE {_SQL_COMM},
+internal AS (
+  SELECT sa.community_id, k.s1, k.s2, k.w
+  FROM keep k
+  JOIN asg sa ON sa.entity_id = k.s1
+  JOIN asg sb ON sb.entity_id = k.s2
+  WHERE sa.community_id = sb.community_id
+),
+edge_stats AS (
+  SELECT community_id, COUNT(*) AS n_internal_edges,
+         CAST(SUM(w) AS BIGINT) AS total_weight
+  FROM internal GROUP BY community_id
+),
+sizes AS (SELECT community_id, COUNT(*) AS n_members FROM asg GROUP BY 1),
+ideg AS (
+  SELECT community_id, member, COUNT(*) AS dg FROM (
+    SELECT community_id, s1 AS member FROM internal
+    UNION ALL
+    SELECT community_id, s2 AS member FROM internal
+  ) GROUP BY community_id, member
+),
+tops AS (
+  SELECT community_id,
+         string_agg(CAST(member AS VARCHAR), '_' ORDER BY rn) AS top_members
+  FROM (
+    SELECT community_id, member,
+           ROW_NUMBER() OVER (PARTITION BY community_id
+                              ORDER BY dg DESC, member ASC) AS rn
+    FROM ideg
+  ) WHERE rn <= 4 GROUP BY community_id
+),
+reports AS (
+  SELECT s.community_id,
+         'community_' || CAST(s.community_id AS VARCHAR) AS title,
+         s.n_members,
+         COALESCE(es.n_internal_edges, 0) AS n_internal_edges,
+         COALESCE(es.total_weight, 0) AS total_weight,
+         COALESCE(t.top_members, '') AS top_members,
+         ROUND(LEAST(10.0, LN(1.0 + CAST(COALESCE(es.total_weight, 0) AS DOUBLE))), 2)
+           AS rating
+  FROM sizes s
+  LEFT JOIN edge_stats es USING (community_id)
+  LEFT JOIN tops t USING (community_id)
+)
+SELECT community_id, title, n_members, n_internal_edges, total_weight,
+       top_members, rating, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rating DESC, community_id ASC) AS rank
+  FROM reports
+) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LS1 — GraphRAG local search: anchor entities → top relationships by
+# weight + top text units by score, as ranked context rows
+# ---------------------------------------------------------------------------
+
+_LS_ANCHORS = [1, 2]
+
+
+def q_ls1_local_search(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    anchors = spark.createDataFrame(
+        [(a,) for a in _LS_ANCHORS], "anchor bigint")
+    text_units = li.groupBy(
+        F.col("l_suppkey").alias("entity_id"),
+        F.col("l_orderkey").alias("unit_id"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double").alias("score")
+    )
+    return local_search_context(
+        anchors, _supplier_edges(spark, sf_dir), text_units,
+        top_rel=5, top_units=3,
+    )
+
+
+def _oracle_ls1() -> str:
+    vals = ", ".join(f"({a})" for a in _LS_ANCHORS)
+    return f"""
+WITH anchors(anchor) AS (VALUES {vals}),
+ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pw AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+  FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT s1 AS anchor, s2 AS neighbor, w FROM pw
+  UNION ALL
+  SELECT s2, s1, w FROM pw
+),
+rel AS (
+  SELECT anchor, 'relation' AS kind, ref_id, score, rank FROM (
+    SELECT u.anchor, u.neighbor AS ref_id, CAST(u.w AS DOUBLE) AS score,
+           ROW_NUMBER() OVER (PARTITION BY u.anchor
+                              ORDER BY CAST(u.w AS DOUBLE) DESC,
+                                       u.neighbor ASC) AS rank
+    FROM und u JOIN anchors USING (anchor)
+  ) WHERE rank <= 5
+),
+tu AS (
+  SELECT l_suppkey AS anchor, l_orderkey AS unit_id,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS score
+  FROM lineitem GROUP BY 1, 2
+),
+units AS (
+  SELECT anchor, 'text_unit' AS kind, ref_id, score, rank FROM (
+    SELECT t.anchor, t.unit_id AS ref_id, t.score,
+           ROW_NUMBER() OVER (PARTITION BY t.anchor
+                              ORDER BY t.score DESC, t.unit_id ASC) AS rank
+    FROM tu t JOIN anchors USING (anchor)
+  ) WHERE rank <= 3
+)
+SELECT anchor, kind, ref_id, score, CAST(rank AS INT) AS rank FROM rel
+UNION ALL
+SELECT anchor, kind, ref_id, score, CAST(rank AS INT) AS rank FROM units
+"""
+
+
+GRAPH_QUERIES = {
+    "c1_communities": q_c1_communities,
+    "c2_community_reports": q_c2_community_reports,
+    "ls1_local_search": q_ls1_local_search,
+}
+
+GRAPH_ORACLES = {
+    "c1_communities": ORACLE_C1,
+    "c2_community_reports": ORACLE_C2,
+    "ls1_local_search": _oracle_ls1(),
+}

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from deep_reason_spark.functions.cosine import cosine_topk_sql
 from deep_reason_spark.operators.topics import (
     MAX_DF_RATIO,
     MIN_DF,
@@ -54,46 +55,25 @@ ex AS (
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 )"""
 
-# seeded centroids + their norms (mirrors operators/topics.py
-# seeded_centroids: exact DECIMAL(28,10) folds, round 6) — shared with the
-# multi-probe IVF oracle in queries_extra.py
+# seeded centroids (mirrors operators/topics.py seeded_centroids: exact
+# DECIMAL(28,10) folds, round 6) — shared with the multi-probe IVF oracle
+# in queries_extra.py
 _SQL_CENTS = """
 cents AS (
   SELECT label, dim,
          ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS c
   FROM ex GROUP BY label, dim
-),
-cnorm AS (
-  SELECT label,
-         sqrt(CAST(SUM(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE)) AS cn
-  FROM cents GROUP BY label
 )"""
 
-# nearest-seeded-centroid assignment (mirrors assign_topics)
-_SQL_ASSIGN = _SQL_CENTS + """,
-vnorm AS (
-  SELECT vec_id,
-         sqrt(CAST(SUM(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS vn
-  FROM ex GROUP BY vec_id
-),
-dots AS (
-  SELECT ex.vec_id, cents.label,
-         CAST(SUM(CAST(ex.val * cents.c AS DECIMAL(28,10))) AS DOUBLE) AS dot
-  FROM ex JOIN cents USING (dim)
-  GROUP BY ex.vec_id, cents.label
-),
-scored_cos AS (
-  SELECT d.vec_id, d.label,
-         ROUND(d.dot / (v.vn * c.cn), 6) AS cos
-  FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm c USING (label)
-),
-assign AS (
-  SELECT vec_id, label AS topic, cos FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, label ASC) AS rn
-    FROM scored_cos
-  ) WHERE rn = 1
-)"""
+# nearest-seeded-centroid assignment: the shared cosine CTE builder
+# (functions/cosine.py) emits the byte-identical DuckDB computation that
+# operators/topics.py assign_topics runs in Spark
+_SQL_ASSIGN = _SQL_CENTS + ",\n" + cosine_topk_sql(
+    items="ex", probes="cents", item_ids=["vec_id"], probe_ids=["label"],
+    k=1, partition="item", score_name="cos", item_val="val", probe_val="c",
+    out="ck_assign", prefix="as_",
+) + """,
+assign AS (SELECT vec_id, label AS topic, cos FROM ck_assign)"""
 
 # c-TF-IDF per (topic, term) over the filtered vocabulary
 _SQL_CTFIDF = """
