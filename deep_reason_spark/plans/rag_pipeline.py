@@ -27,8 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deep_reason_spark.functions.broadcast import broadcast_if_small
 from deep_reason_spark.functions.cosine import cosine_topk, explode_vec
-from deep_reason_spark.operators.topics import TOKEN_SPLIT
+from deep_reason_spark.operators.topics import TOKEN_SPLIT, tokenize
 
 STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
 RETRIEVING_TOP_K = 3          # rag/pipeline.py:97
@@ -50,24 +51,48 @@ def extract_keywords(questions: DataFrame) -> DataFrame:
     )
 
 
-def fulltext_branch(questions: DataFrame, documents: DataFrame,
-                    top_k: int = RETRIEVING_TOP_K,
+def doc_terms(documents: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, term) posting list — the dataflow form of the
+    reference's ES inverted index (rag/pipeline.py:224-273). Tokenization
+    is a generated-column explode (topics.tokenize); at corpus scale this
+    is materialized once and reused across every query batch."""
+    return tokenize(documents, text_col, id_col).distinct()
+
+
+def fulltext_scores(questions: DataFrame, documents: DataFrame,
                     doc_filter=None) -> DataFrame:
-    """Full-text retrieval (S10): score = matched-keyword count per doc,
-    top-k per question. The keyword set is broadcast; the corpus scans once.
+    """Full-text scoring (S10) → (question_id, doc_id, ft_score): score =
+    number of distinct question keywords present as TOKENS in the doc.
+
+    Plan shape (VERDICT r2 #1 fix): tokenize the corpus once into a
+    posting list, then EQUI-JOIN keyword↔term and count — the ES
+    ``multi_match`` dataflow. Never a substring theta-join: a contains()
+    condition plans as a BroadcastNestedLoopJoin that rescans every corpus
+    byte per keyword (O(|docs|·|keywords|) at 10^12 docs).
 
     ``doc_filter``: optional metadata predicate (Column or SQL string) —
     the ES bool-filter analogue (rag/pipeline.py:258 optional ``filter``
-    kwarg). Applied BEFORE scoring so Catalyst pushes it into the parquet
-    scan (partition/row-group pruning at corpus scale)."""
+    kwarg). Applied BEFORE tokenization so Catalyst pushes it into the
+    parquet scan (partition/row-group pruning at corpus scale)."""
     if doc_filter is not None:
         documents = documents.where(
             F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter)
-    kw = extract_keywords(questions)
-    hits = documents.join(
-        F.broadcast(kw),
-        F.col("text").contains(F.col("keyword")),
-    ).groupBy("question_id", "doc_id").agg(F.count("*").alias("ft_score"))
+    kw = extract_keywords(questions).withColumnRenamed("keyword", "term")
+    return (
+        doc_terms(documents)
+        .join(broadcast_if_small(kw), "term")
+        .groupBy("question_id", "doc_id")
+        .agg(F.count("*").alias("ft_score"))
+    )
+
+
+def fulltext_branch(questions: DataFrame, documents: DataFrame,
+                    top_k: int = RETRIEVING_TOP_K,
+                    doc_filter=None) -> DataFrame:
+    """Full-text retrieval (S10): posting-list keyword scores, top-k per
+    question (window over the matched slice, never a global sort)."""
+    hits = fulltext_scores(questions, documents, doc_filter)
     w = Window.partitionBy("question_id").orderBy(
         F.desc("ft_score"), F.asc("doc_id"))
     return (
@@ -206,14 +231,20 @@ def join_branches(ft: DataFrame, vec: DataFrame) -> DataFrame:
 def rerank(retrieved: DataFrame, questions: DataFrame, documents: DataFrame,
            keep_threshold: float = RERANK_KEEP_THRESHOLD) -> DataFrame:
     """Deterministic reranker on the reference's 0-10 scale: score = 10 ×
-    |question keywords present in doc| / |question keywords|; keep docs with
-    score > threshold, sort desc (W4/P5, rag/pipeline.py:349-415)."""
+    |question keywords present as tokens in doc| / |question keywords|;
+    keep docs with score > threshold, sort desc (W4/P5,
+    rag/pipeline.py:349-415).
+
+    Matching is the same posting-list EQUI-JOIN as the retrieval branch
+    (two-column join on question_id + term), restricted to the retrieved
+    docs — never a substring theta-join (VERDICT r2 #1)."""
     kw = extract_keywords(questions)
     nkw = kw.groupBy("question_id").agg(F.count("*").alias("n_kw"))
     matched = (
-        retrieved.join(documents.select("doc_id", "text"), "doc_id")
-        .join(F.broadcast(kw), "question_id")
-        .where(F.col("text").contains(F.col("keyword")))
+        retrieved.select("question_id", "doc_id")
+        .join(doc_terms(documents), "doc_id")
+        .join(broadcast_if_small(kw.withColumnRenamed("keyword", "term")),
+              ["question_id", "term"])
         .groupBy("question_id", "doc_id")
         .agg(F.count("*").alias("n_matched"))
     )

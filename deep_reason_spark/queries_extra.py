@@ -519,9 +519,16 @@ kw AS (
                 w -> length(w) > 1 AND w NOT IN ({stop})))) AS keyword
   FROM q
 ),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              w -> length(w) > 1)) AS term
+    FROM documents)
+),
 hits AS (
   SELECT k.question_id, d.doc_id, COUNT(*) AS ft_score
-  FROM documents d JOIN kw k ON position(k.keyword IN d.text) > 0
+  FROM dt d JOIN kw k ON k.keyword = d.term
   GROUP BY k.question_id, d.doc_id
 ),
 top AS (
@@ -533,9 +540,9 @@ top AS (
 nkw AS (SELECT question_id, COUNT(*) AS n_kw FROM kw GROUP BY question_id),
 matched AS (
   SELECT t.question_id, t.doc_id, COUNT(*) AS n_m
-  FROM top t JOIN documents d ON d.doc_id = t.doc_id
+  FROM top t JOIN dt d ON d.doc_id = t.doc_id
              JOIN kw k ON k.question_id = t.question_id
-                      AND position(k.keyword IN d.text) > 0
+                      AND k.keyword = d.term
   GROUP BY t.question_id, t.doc_id
 ),
 scored AS (

@@ -467,25 +467,34 @@ FROM bits GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_s10_fulltext_topk(spark, sf_dir):
+    """Exercises the ENGINE's posting-list scorer (plans/rag_pipeline.py
+    fulltext_scores): tokenize-once → keyword↔term equi-join → count, the
+    dataflow form of ES multi_match (rag/pipeline.py:224-273). Top-10 is
+    orderBy+limit (TakeOrderedAndProject), not a single-partition window."""
+    from deep_reason_spark.plans.rag_pipeline import fulltext_scores
     d = load(spark, sf_dir, "documents")
-    score = (
-        F.expr("CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END")
-        + F.expr("CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END")
-        + F.expr("CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END")
-    )
+    qs = spark.createDataFrame([(1, "spark query vector")],
+                               "question_id int, question string")
     return (
-        d.select("doc_id", score.alias("score"))
+        fulltext_scores(qs, d)
+        .select("doc_id", F.col("ft_score").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
 
 
 ORACLE_S10 = """
-SELECT doc_id,
-       (CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END +
-        CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END +
-        CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END) AS score
-FROM documents ORDER BY score DESC, doc_id ASC LIMIT 10
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              w -> length(w) > 1)) AS term
+    FROM documents)
+),
+kw(term) AS (VALUES ('spark'), ('query'), ('vector')),
+hits AS (SELECT doc_id, COUNT(*) AS score FROM dt JOIN kw USING (term)
+         GROUP BY doc_id)
+SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 

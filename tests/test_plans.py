@@ -95,3 +95,22 @@ def test_edge_build_has_no_window_and_partial_aggregates(spark):
     assert "partial" in plan.lower()
     # provenance is fixed-width
     assert dict(edges.dtypes)["text_unit_ids"] == "array<bigint>"
+
+
+def test_fulltext_branches_have_no_nested_loop_join(spark):
+    """VERDICT r2 #1: full-text scoring must be a posting-list EQUI-JOIN,
+    never a contains() theta-join (BroadcastNestedLoopJoin rescans every
+    corpus byte per keyword at 10^12 docs). Asserted on both the retrieval
+    branch and the reranker."""
+    from pyspark.sql import functions as F
+    from deep_reason_spark.plans.rag_pipeline import fulltext_branch, rerank
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, "spark query table"), (2, "vector stream")],
+        "question_id int, question string")
+    ft = fulltext_branch(qs, docs)
+    assert "BroadcastNestedLoopJoin" not in _plan(ft)
+    retrieved = ft.groupBy("question_id", "doc_id").agg(
+        F.array_sort(F.collect_set("branch")).alias("branches"))
+    scored = rerank(retrieved, qs, docs)
+    assert "BroadcastNestedLoopJoin" not in _plan(scored)
