@@ -371,7 +371,14 @@ def extract_triples(chunks: DataFrame, error_acc=None,
                             data[c].append(row[c])
                 yield pd.DataFrame(data, columns=OUT_COLS)
 
-    prepared = chunks.select(
+    return _prepare_chunks(chunks).mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def _prepare_chunks(chunks: DataFrame) -> DataFrame:
+    """JVM-side prep shared by the python engine and the LLM extractor:
+    sentence split + multi-token entity scan run as Catalyst expressions so
+    only the narrow arrays cross the Arrow boundary."""
+    return chunks.select(
         *PROV_COLS,
         F.expr(f"split(text, '{_SENT_SPLIT_SQL}')").alias("sentences"),
         F.expr(f"regexp_extract_all(text, '{_MULTI_ENT_SQL}', 1)")
@@ -380,7 +387,6 @@ def extract_triples(chunks: DataFrame, error_acc=None,
             f"regexp_extract_all(coalesce(left_text, ''), '{_MULTI_ENT_SQL}', 1)"
         ).alias("left_entities"),
     )
-    return prepared.mapInPandas(run, TRIPLES_SCHEMA)
 
 
 def detect_mentions(chunks: DataFrame) -> DataFrame:
@@ -400,24 +406,122 @@ def detect_mentions(chunks: DataFrame) -> DataFrame:
 class LLMExtractor:
     """Optional LLM-backed extractor behind the same batch interface.
 
-    Mirrors the reference's OpenAI-compatible client semantics: batched
-    requests, ≤3 parse retries, exponential backoff ×1.5 from 2 s
-    (deep-reason ``deep_reason/chains.py:33-60``,
-    ``deep_reason/pipeline.py:113-135``). Requires an endpoint; the sandbox
-    has none, so instantiation without one raises — the deterministic
-    extractor above is the default engine path.
+    Mirrors the reference's OpenAI-compatible client semantics: one
+    prompt-batched POST to ``{base_url}/v1/chat/completions`` per Arrow
+    batch, ≤3 attempts on HTTP/parse failure, exponential backoff ×1.5
+    from 2 s (deep-reason ``deep_reason/chains.py:33-60``,
+    ``deep_reason/pipeline.py:113-135``). Response contract: the message
+    content is a JSON array with ONE entry per input chunk, each a list of
+    ``[subject, predicate, object]`` triples — a shape mismatch is a parse
+    failure and retries like an HTTP error.
+
+    ``sleeper`` is injectable so tests assert the backoff sequence without
+    wall-clock sleeps. Requires an endpoint; the sandbox has none, so
+    instantiation without one raises — the deterministic extractor above
+    is the default engine path.
     """
 
     def __init__(self, base_url: str | None = None, model: str = "",
                  max_retries: int = 3, backoff_base_s: float = 2.0,
-                 backoff_factor: float = 1.5):
+                 backoff_factor: float = 1.5, timeout_s: float = 30.0,
+                 sleeper=None):
         if not base_url:
             raise NotImplementedError(
                 "LLMExtractor needs an OpenAI-compatible endpoint; "
                 "use the deterministic extractor in this environment"
             )
-        self.base_url = base_url
+        self.base_url = base_url.rstrip("/")
         self.model = model
         self.max_retries = max_retries
         self.backoff_base_s = backoff_base_s
         self.backoff_factor = backoff_factor
+        self.timeout_s = timeout_s
+        self._sleep = sleeper  # None → time.sleep, resolved at call time
+
+    def _request(self, prompt: str) -> str:
+        import json
+        import urllib.request
+
+        payload = json.dumps({
+            "model": self.model,
+            "messages": [{"role": "user", "content": prompt}],
+        }).encode("utf-8")
+        req = urllib.request.Request(
+            f"{self.base_url}/v1/chat/completions", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            body = json.load(resp)
+        return body["choices"][0]["message"]["content"]
+
+    def extract_batch(self, chunks: list[dict]) -> list[list[tuple[str, str, str]]]:
+        """``chunks``: [{"text": str, "context_entities": [str, ...]}] →
+        one triple list per chunk. One prompt-batched request; retried on
+        HTTP error or response-shape mismatch with the reference's backoff
+        (sleep base·factor^attempt between attempts, none after the last)."""
+        import json
+        import time
+
+        sleep = self._sleep or time.sleep
+        prompt = json.dumps({
+            "task": "extract (subject, predicate, object) triples per chunk",
+            "chunks": chunks,
+        })
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                parsed = json.loads(self._request(prompt))
+                if not isinstance(parsed, list) or len(parsed) != len(chunks):
+                    raise ValueError(
+                        f"expected {len(chunks)} chunk entries, got "
+                        f"{len(parsed) if isinstance(parsed, list) else type(parsed)}")
+                out: list[list[tuple[str, str, str]]] = []
+                for entry in parsed:
+                    triples = []
+                    for t in entry:
+                        s, p, o = t  # mis-shaped triple → parse retry
+                        triples.append((str(s), str(p), str(o)))
+                    out.append(triples)
+                return out
+            except Exception as exc:  # noqa: BLE001 — retry contract
+                last = exc
+                if attempt + 1 < self.max_retries:
+                    sleep(self.backoff_base_s * self.backoff_factor ** attempt)
+        raise RuntimeError(
+            f"LLM extraction failed after {self.max_retries} attempts: {last}"
+        ) from last
+
+    def extract(self, chunks: DataFrame) -> DataFrame:
+        """Same dataflow as ``extract_triples(engine='python')``: JVM-side
+        sentence/entity prep, then one HTTP prompt-batch per Arrow batch in
+        ``mapInPandas`` — never a request per row. Returns TRIPLES_SCHEMA
+        rows with full provenance."""
+        url, model = self.base_url, self.model
+        retries, base_s = self.max_retries, self.backoff_base_s
+        factor, timeout = self.backoff_factor, self.timeout_s
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # re-instantiated per worker: the client holds no connection
+            # state and injectable sleepers never cross the pickle boundary
+            client = LLMExtractor(url, model, retries, base_s, factor, timeout)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({c: [] for c in OUT_COLS})
+                    continue
+                reqs = [
+                    {"text": " ".join(pdf.iloc[i]["sentences"]),
+                     "context_entities": list(pdf.iloc[i]["left_entities"])}
+                    for i in range(len(pdf))
+                ]
+                per_chunk = client.extract_batch(reqs)
+                data: dict[str, list] = {c: [] for c in OUT_COLS}
+                for i, triples in enumerate(per_chunk):
+                    row = pdf.iloc[i]
+                    for s, p, o in triples:
+                        data["subject"].append(s)
+                        data["predicate"].append(p)
+                        data["object"].append(o)
+                        for c in PROV_COLS:
+                            data[c].append(row[c])
+                yield pd.DataFrame(data, columns=OUT_COLS)
+
+        return _prepare_chunks(chunks).mapInPandas(run, TRIPLES_SCHEMA)
