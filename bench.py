@@ -46,6 +46,7 @@ HEADLINE = [
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
+LOAD_BEFORE = os.getloadavg()  # sampled at process start, before Spark spins up
 
 
 def _force(df) -> None:
@@ -111,6 +112,7 @@ def run_bench(cpus: str, sf_dir: str, kg_files: int, include_queries: bool = Tru
     kg = run_kg_bench(spark, kg_files)
     total += kg["kg_wall_sec"]
     spark.stop()
+    load_after = os.getloadavg()
 
     return {
         "metric": "headline suite + KG pipeline wall time",
@@ -119,6 +121,12 @@ def run_bench(cpus: str, sf_dir: str, kg_files: int, include_queries: bool = Tru
         "queries": per_query,
         "sf": sf,
         **kg,
+        # host-contention evidence (VERDICT r2 task 7): this VM shows
+        # 1.5-4x uniform slowdown windows with no local process; numbers
+        # are only comparable within one window, and the load fields make
+        # a cross-window comparison visibly unsound
+        "loadavg_before": [round(x, 2) for x in LOAD_BEFORE],
+        "loadavg_after": [round(x, 2) for x in load_after],
     }
 
 
@@ -238,6 +246,8 @@ def run_scaling(mode: str = "--triples-only") -> dict:
             "scaling_efficiency": round(
                 hi["triples_per_sec"] / lo["triples_per_sec"] / 4.0, 3
             ),
+            "loadavg_before": [round(x, 2) for x in LOAD_BEFORE],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
