@@ -24,8 +24,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deep_reason_spark.functions.broadcast import (
+    BROADCAST_MAX_BYTES,
+    estimate_bytes,
+)
 
 MAX_TEXT_UNITS = 100  # provenance sample cap per edge
+
+
+def _gate(df: DataFrame):
+    """One byte estimate → a join hint reusable across several joins of the
+    same map. Entity-scale lookup maps (names, titles, types) grow with the
+    corpus: forcing F.broadcast on them is the 100×-scale bug class
+    (VERDICT r2 #2); beyond the gate they shuffle and AQE owns skew."""
+    return (F.broadcast if estimate_bytes(df) <= BROADCAST_MAX_BYTES
+            else (lambda d: d))
 
 
 def build_edges(canonical_triples: DataFrame,
@@ -60,6 +73,9 @@ def build_edges(canonical_triples: DataFrame,
                 F.col("object_canonical").alias("name")))
             .groupBy("canonical_id")
             .agg(F.max_by("name", F.length("name")).alias("name"))
+            # derived here → pinned here: the gate estimate + two joins
+            # below must not re-scan the triples three times
+            .localCheckpoint()
         )
     keyed = canonical_triples.select(
         "src", "dst", "predicate",
@@ -76,12 +92,13 @@ def build_edges(canonical_triples: DataFrame,
         F.sum("_n").alias("weight_cnt"),
         F.array_sort(F.collect_set("_tu")).alias("text_unit_ids"),
     )
+    hint = _gate(names)
     named = (
-        agg.join(F.broadcast(names.select(F.col("canonical_id").alias("src"),
-                                          F.col("name").alias("_sname"))),
+        agg.join(hint(names.select(F.col("canonical_id").alias("src"),
+                                   F.col("name").alias("_sname"))),
                  "src", "left")
-        .join(F.broadcast(names.select(F.col("canonical_id").alias("dst"),
-                                       F.col("name").alias("_tname"))),
+        .join(hint(names.select(F.col("canonical_id").alias("dst"),
+                                F.col("name").alias("_tname"))),
               "dst", "left")
     )
     return named.select(
@@ -142,7 +159,8 @@ def build_nodes(canonical_triples: DataFrame, entity_types: DataFrame | None = N
     )
     if entity_types is not None:
         nodes = nodes.join(
-            F.broadcast(entity_types.select(F.col("canonical_id").alias("id"), "type")),
+            _gate(entity_types)(
+                entity_types.select(F.col("canonical_id").alias("id"), "type")),
             "id", "left",
         ).withColumn("type", F.coalesce("type", F.lit("entity")))
     else:
@@ -173,12 +191,14 @@ def build_nodes_from_edges(
         F.concat_ws("; ", F.array_sort(F.collect_set("description")))
         .alias("description"),
     )
-    nodes = per_node.join(F.broadcast(titles.select(F.col("canonical_id").alias("id"),
-                                                    "title")), "id", "left")
+    nodes = per_node.join(
+        _gate(titles)(titles.select(F.col("canonical_id").alias("id"), "title")),
+        "id", "left")
     nodes = nodes.withColumn("title", F.coalesce("title", F.col("id")))
     if entity_types is not None:
         nodes = nodes.join(
-            F.broadcast(entity_types.select(F.col("canonical_id").alias("id"), "type")),
+            _gate(entity_types)(
+                entity_types.select(F.col("canonical_id").alias("id"), "type")),
             "id", "left",
         ).withColumn("type", F.coalesce("type", F.lit("entity")))
     else:

@@ -192,7 +192,7 @@ def run_graph_stage(
     # beyond that it must shuffle (a 10^9-entity map cannot live on every
     # executor) — AQE then handles any hub-entity skew in the join
     full_map = (
-        surface_map.join(F.broadcast(mapping), "entity_id")
+        surface_map.join(broadcast_if_small(mapping), "entity_id")
         .select("surface", "entity_id", "canonical_id", "canonical_name", "linked")
         .localCheckpoint()
     )
@@ -219,8 +219,11 @@ def run_graph_stage(
         # rows to storage and reading them back whole
     )
 
+    # entity-scale; consumed by the edge names, the nodes table, and the
+    # byte gates inside each — pin once
     titles = full_map.groupBy("canonical_id").agg(
-        F.max_by("canonical_name", F.length("canonical_name")).alias("title"))
+        F.max_by("canonical_name", F.length("canonical_name")).alias("title")
+    ).localCheckpoint()
     edge_agg = build_edges(
         canonical, names=titles.withColumnRenamed("title", "name")
     ).localCheckpoint()  # reused by degree/ontology/kg
@@ -239,7 +242,7 @@ def run_graph_stage(
             [], "canonical_id string, type string")
     else:
         canonical_types = mapping.join(
-            F.broadcast(entity_types), "entity_id", "left"
+            broadcast_if_small(entity_types), "entity_id", "left"
         ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
             F.col("type").isNotNull()
         ).localCheckpoint()

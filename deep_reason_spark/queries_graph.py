@@ -110,12 +110,14 @@ SELECT entity_id, community_id FROM asg
 # ---------------------------------------------------------------------------
 
 def q_c2_community_reports(spark, sf_dir):
-    edges = _supplier_edges(spark, sf_dir)
-    kept = prune_edges(edges, weight_col="weight",
-                       min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG)
+    # prune once, checkpoint (entity-scale), feed BOTH the CC labeling and
+    # the report rollup — no second pass over the co-order self-join
+    kept = prune_edges(
+        _supplier_edges(spark, sf_dir), weight_col="weight",
+        min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG,
+    ).localCheckpoint()
     asg = detect_communities(
-        edges, all_nodes=_supplier_nodes(spark, sf_dir),
-        weight_col="weight", min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG,
+        kept, all_nodes=_supplier_nodes(spark, sf_dir), weight_col="weight",
     )
     reports = community_reports(asg, kept, top_members=4)
     return global_search_reports(reports, k=10).select(
