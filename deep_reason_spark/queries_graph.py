@@ -127,8 +127,9 @@ def q_c2_community_reports(spark, sf_dir):
     )
 
 
-ORACLE_C2 = f"""
-WITH RECURSIVE {_SQL_COMM},
+# per-community rollup CTEs (mirrors operators/communities.py
+# community_reports) — shared by the C2 and DS1 oracles
+_SQL_REPORTS = """
 internal AS (
   SELECT sa.community_id, k.s1, k.s2, k.w
   FROM keep k
@@ -171,7 +172,11 @@ reports AS (
   FROM sizes s
   LEFT JOIN edge_stats es USING (community_id)
   LEFT JOIN tops t USING (community_id)
-)
+)"""
+
+ORACLE_C2 = f"""
+WITH RECURSIVE {_SQL_COMM},
+{_SQL_REPORTS}
 SELECT community_id, title, n_members, n_internal_edges, total_weight,
        top_members, rating, CAST(rank AS INT) AS rank
 FROM (
@@ -251,14 +256,163 @@ SELECT anchor, kind, ref_id, score, CAST(rank AS INT) AS rank FROM units
 """
 
 
+# ---------------------------------------------------------------------------
+# DS1 — DRIFT search: global primer (top-ranked community reports) →
+# follow-up anchors (each community's most central members) → per-anchor
+# local context over the FULL relationship table
+# ---------------------------------------------------------------------------
+
+def _text_units(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").alias("entity_id"),
+        F.col("l_orderkey").alias("unit_id"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double").alias("score")
+    )
+
+
+def q_ds1_drift_search(spark, sf_dir):
+    from deep_reason_spark.plans.graph_search import drift_search_context
+    edges = _supplier_edges(spark, sf_dir)
+    kept = prune_edges(edges, weight_col="weight",
+                       min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG
+                       ).localCheckpoint()
+    asg = detect_communities(
+        kept, all_nodes=_supplier_nodes(spark, sf_dir), weight_col="weight")
+    reports = community_reports(asg, kept, top_members=4)
+    ctx = drift_search_context(
+        reports, asg, kept, edges, _text_units(spark, sf_dir),
+        top_communities=2, anchors_per_community=2, top_rel=5, top_units=3)
+    return ctx.select(
+        F.col("community_id").cast("bigint").alias("community_id"),
+        F.col("anchor").cast("bigint").alias("anchor"),
+        "kind", "ref_id", "score", "rank",
+    )
+
+
+ORACLE_DS1 = f"""
+WITH RECURSIVE {_SQL_COMM},
+{_SQL_REPORTS},
+primer AS (
+  SELECT community_id FROM (
+    SELECT community_id,
+           ROW_NUMBER() OVER (ORDER BY rating DESC, community_id ASC) AS rnk
+    FROM reports
+  ) WHERE rnk <= 2
+),
+memb AS (
+  SELECT a.community_id, a.entity_id, COALESCE(i.dg, 0) AS dg
+  FROM asg a JOIN primer USING (community_id)
+  LEFT JOIN ideg i ON i.community_id = a.community_id
+                  AND i.member = a.entity_id
+),
+anchors AS (
+  SELECT community_id, entity_id AS anchor FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY community_id
+                                 ORDER BY dg DESC, entity_id ASC) AS rn
+    FROM memb
+  ) WHERE rn <= 2
+),
+fund AS (
+  SELECT s1 AS anchor, s2 AS neighbor, w FROM pw
+  UNION ALL
+  SELECT s2, s1, w FROM pw
+),
+rel AS (
+  SELECT anchor, 'relation' AS kind, ref_id, score, rank FROM (
+    SELECT u.anchor, u.neighbor AS ref_id, CAST(u.w AS DOUBLE) AS score,
+           ROW_NUMBER() OVER (PARTITION BY u.anchor
+                              ORDER BY CAST(u.w AS DOUBLE) DESC,
+                                       u.neighbor ASC) AS rank
+    FROM fund u JOIN (SELECT DISTINCT anchor FROM anchors) a USING (anchor)
+  ) WHERE rank <= 5
+),
+tu AS (
+  SELECT l_suppkey AS anchor, l_orderkey AS unit_id,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS score
+  FROM lineitem GROUP BY 1, 2
+),
+units AS (
+  SELECT anchor, 'text_unit' AS kind, ref_id, score, rank FROM (
+    SELECT t.anchor, t.unit_id AS ref_id, t.score,
+           ROW_NUMBER() OVER (PARTITION BY t.anchor
+                              ORDER BY t.score DESC, t.unit_id ASC) AS rank
+    FROM tu t JOIN (SELECT DISTINCT anchor FROM anchors) a USING (anchor)
+  ) WHERE rank <= 3
+),
+ctx AS (SELECT * FROM rel UNION ALL SELECT * FROM units)
+SELECT an.community_id, c.anchor, c.kind, c.ref_id, c.score,
+       CAST(c.rank AS INT) AS rank
+FROM ctx c JOIN anchors an USING (anchor)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BS1 — basic search (vanilla text RAG): posting-list full-text top-k per
+# question with scores, as ranked context rows
+# ---------------------------------------------------------------------------
+
+_BS_QS = [(1, "spark query table window"), (2, "vector stream data hash"),
+          (3, "zzz qqq nonexistent")]
+
+
+def q_bs1_basic_search(spark, sf_dir):
+    from deep_reason_spark.plans.graph_search import basic_search_context
+    d = load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BS_QS, "question_id int, question string")
+    return basic_search_context(qs, d, top_k=5)
+
+
+def _oracle_bs1() -> str:
+    from deep_reason_spark.plans.rag_pipeline import STOPWORDS
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BS_QS)
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH q(question_id, question) AS (VALUES {vals}),
+kw AS (
+  SELECT question_id,
+         UNNEST(list_distinct(list_filter(
+             string_split_regex(lower(question), '[^a-z0-9]+'),
+             w -> length(w) > 1 AND w NOT IN ({stop})))) AS term
+  FROM q
+),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              w -> length(w) > 1)) AS term
+    FROM documents)
+),
+hits AS (
+  SELECT k.question_id, d.doc_id, COUNT(*) AS score
+  FROM dt d JOIN kw k USING (term)
+  GROUP BY k.question_id, d.doc_id
+)
+SELECT question_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY question_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM hits
+) WHERE rank <= 5
+"""
+
+
 GRAPH_QUERIES = {
     "c1_communities": q_c1_communities,
     "c2_community_reports": q_c2_community_reports,
     "ls1_local_search": q_ls1_local_search,
+    "ds1_drift_search": q_ds1_drift_search,
+    "bs1_basic_search": q_bs1_basic_search,
 }
 
 GRAPH_ORACLES = {
     "c1_communities": ORACLE_C1,
     "c2_community_reports": ORACLE_C2,
     "ls1_local_search": _oracle_ls1(),
+    "ds1_drift_search": ORACLE_DS1,
+    "bs1_basic_search": _oracle_bs1(),
 }

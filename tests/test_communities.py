@@ -103,3 +103,41 @@ def test_local_search_context_rows(spark, edges):
     assert [(r["ref_id"], r["score"], r["rank"]) for r in rel] == [
         (2, 9.0, 1), (30, 9.0, 2)]
     assert [(r["ref_id"], r["rank"]) for r in tu] == [(101, 1), (102, 2)]
+
+
+def test_drift_search_primer_then_local(spark, edges):
+    from deep_reason_spark.operators.communities import community_reports
+    from deep_reason_spark.plans.graph_search import drift_search_context
+    kept = prune_edges(edges, weight_col="weight", min_weight=2, max_degree=4)
+    asg = detect_communities(edges, weight_col="weight",
+                             min_weight=2, max_degree=4)
+    units = spark.createDataFrame(
+        [(1, 100, 5.0), (2, 200, 4.0), (10, 300, 7.0)],
+        "entity_id bigint, unit_id bigint, score double")
+    ctx = drift_search_context(
+        community_reports(asg, kept), asg, kept, edges, units,
+        top_communities=2, anchors_per_community=1, top_rel=2, top_units=1)
+    rows = ctx.collect()
+    # primer picks communities 1 and 10 (highest ratings); top members by
+    # internal degree, tie -> smallest id: anchors 1 and 10
+    assert {(r["community_id"], r["anchor"]) for r in rows} == {(1, 1), (10, 10)}
+    kinds = {(r["anchor"], r["kind"]) for r in rows}
+    assert (1, "relation") in kinds and (1, "text_unit") in kinds
+    # anchor 10's relations rank over the FULL edge table (hub 30 included)
+    rel10 = sorted([(r["rank"], r["ref_id"]) for r in rows
+                    if r["anchor"] == 10 and r["kind"] == "relation"])
+    assert rel10 == [(1, 11), (2, 30)]  # weight 9 ties -> smaller neighbor first
+
+
+def test_basic_search_posting_list_topk(spark):
+    from deep_reason_spark.plans.graph_search import basic_search_context
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "alpha"),
+         (4, "delta epsilon")],
+        "doc_id bigint, text string")
+    qs = spark.createDataFrame([(7, "alpha beta gamma")],
+                               "question_id int, question string")
+    rows = sorted(basic_search_context(qs, docs, top_k=2).collect(),
+                  key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in rows] == [
+        (1, 3, 1), (2, 2, 2)]
