@@ -151,6 +151,30 @@ def drift_search_context(
     )
 
 
+def generate_questions(edges: DataFrame, n: int = 5) -> DataFrame:
+    """Question generation (``question_gen_system_prompt.py``):
+    deterministic contract for "candidates representing the most important
+    themes in the data" — the N strongest relationships, templated so each
+    candidate references both named entities (the prompt's instruction) →
+    (question_id, question).
+
+    Scale shape: global top-n via orderBy+limit (TakeOrderedAndProject);
+    the rank window touches only n rows."""
+    topn = edges.orderBy(
+        F.desc("weight"), F.asc("src"), F.asc("dst")).limit(n)
+    w = Window.orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
+    return (
+        topn.withColumn("question_id", F.row_number().over(w).cast("int"))
+        .select(
+            "question_id",
+            F.format_string(
+                "What is the relationship between %s and %s?",
+                F.col("src").cast("string"), F.col("dst").cast("string"),
+            ).alias("question"),
+        )
+    )
+
+
 def basic_search_context(
     questions: DataFrame,
     documents: DataFrame,

@@ -30,7 +30,7 @@ _CG_MAX_DEG = 8
 # recursive-CTE transitive closure → per-supplier community label
 _SQL_COMM = f"""
 ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-pw AS (
+pw AS MATERIALIZED (
   SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
   FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey
                      AND a.l_suppkey < b.l_suppkey
@@ -52,7 +52,7 @@ reach(n, anc) AS (
 ),
 comp AS (SELECT n, LEAST(n, MIN(anc)) AS m FROM reach GROUP BY n),
 allsup AS (SELECT DISTINCT l_suppkey AS n FROM lineitem),
-asg AS (
+asg AS MATERIALIZED (
   SELECT n AS entity_id, COALESCE(m, n) AS community_id
   FROM allsup LEFT JOIN comp USING (n)
 )"""
@@ -130,7 +130,7 @@ def q_c2_community_reports(spark, sf_dir):
 # per-community rollup CTEs (mirrors operators/communities.py
 # community_reports) — shared by the C2 and DS1 oracles
 _SQL_REPORTS = """
-internal AS (
+internal AS MATERIALIZED (
   SELECT sa.community_id, k.s1, k.s2, k.w
   FROM keep k
   JOIN asg sa ON sa.entity_id = k.s1
@@ -143,7 +143,7 @@ edge_stats AS (
   FROM internal GROUP BY community_id
 ),
 sizes AS (SELECT community_id, COUNT(*) AS n_members FROM asg GROUP BY 1),
-ideg AS (
+ideg AS MATERIALIZED (
   SELECT community_id, member, COUNT(*) AS dg FROM (
     SELECT community_id, s1 AS member FROM internal
     UNION ALL
@@ -160,7 +160,7 @@ tops AS (
     FROM ideg
   ) WHERE rn <= 4 GROUP BY community_id
 ),
-reports AS (
+reports AS MATERIALIZED (
   SELECT s.community_id,
          'community_' || CAST(s.community_id AS VARCHAR) AS title,
          s.n_members,
@@ -279,8 +279,11 @@ def q_ds1_drift_search(spark, sf_dir):
     kept = prune_edges(edges, weight_col="weight",
                        min_weight=_CG_MIN_W, max_degree=_CG_MAX_DEG
                        ).localCheckpoint()
+    # entity-scale label table, consumed by the reports AND the anchor
+    # ranking — pin it so the CC runs once
     asg = detect_communities(
-        kept, all_nodes=_supplier_nodes(spark, sf_dir), weight_col="weight")
+        kept, all_nodes=_supplier_nodes(spark, sf_dir), weight_col="weight",
+    ).localCheckpoint()
     reports = community_reports(asg, kept, top_members=4)
     ctx = drift_search_context(
         reports, asg, kept, edges, _text_units(spark, sf_dir),
@@ -308,7 +311,7 @@ memb AS (
   LEFT JOIN ideg i ON i.community_id = a.community_id
                   AND i.member = a.entity_id
 ),
-anchors AS (
+anchors AS MATERIALIZED (
   SELECT community_id, entity_id AS anchor FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY community_id
                                  ORDER BY dg DESC, entity_id ASC) AS rn
@@ -401,12 +404,42 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# QG1 — question generation (question_gen_system_prompt analogue): the N
+# strongest relationships templated into candidate questions referencing
+# both named entities
+# ---------------------------------------------------------------------------
+
+def q_qg1_question_gen(spark, sf_dir):
+    from deep_reason_spark.plans.graph_search import generate_questions
+    return generate_questions(_supplier_edges(spark, sf_dir), n=5)
+
+
+ORACLE_QG1 = """
+WITH ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pw AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+  FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT CAST(rn AS INT) AS question_id,
+       'What is the relationship between ' || CAST(src AS VARCHAR) ||
+       ' and ' || CAST(dst AS VARCHAR) || '?' AS question
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, src ASC, dst ASC) AS rn
+  FROM pw
+) WHERE rn <= 5
+"""
+
+
 GRAPH_QUERIES = {
     "c1_communities": q_c1_communities,
     "c2_community_reports": q_c2_community_reports,
     "ls1_local_search": q_ls1_local_search,
     "ds1_drift_search": q_ds1_drift_search,
     "bs1_basic_search": q_bs1_basic_search,
+    "qg1_question_gen": q_qg1_question_gen,
 }
 
 GRAPH_ORACLES = {
@@ -415,4 +448,5 @@ GRAPH_ORACLES = {
     "ls1_local_search": _oracle_ls1(),
     "ds1_drift_search": ORACLE_DS1,
     "bs1_basic_search": _oracle_bs1(),
+    "qg1_question_gen": ORACLE_QG1,
 }
