@@ -73,6 +73,10 @@ def run_kg_bench(spark, n_files: int) -> dict:
         wall = time.monotonic() - t0
         return {
             "kg_files": n_files,
+            # r3: the pipeline now also materializes communities +
+            # community_reports (2 extra tables incl. an iterative CC) —
+            # kg_wall is not comparable to r1/r2 at equal feature set
+            "kg_output_tables": 10,
             "kg_triples": m.triples_out,
             "kg_wall_sec": round(wall, 3),
             "kg_triples_per_sec": round(m.triples_out / wall, 1),

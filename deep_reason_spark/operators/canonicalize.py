@@ -101,20 +101,32 @@ def connected_components(
     if n_edges == 0:
         return b.select(F.col("u").alias("node"), F.col("v").alias("component"))
     parts = max(1, min(512, n_edges // 1_000_000 + 1))
+    # the intermediate dedups/repartitions bound row inflation between the
+    # two star passes — essential on 10^9-edge graphs, pure per-round stage
+    # latency on small ones (the star groupBys dedup for free: min() is
+    # duplicate-insensitive); b2's trailing distinct keeps the per-round
+    # edge set canonical either way
+    big = n_edges > 1_000_000
     if b.rdd.getNumPartitions() > parts:
         b = b.repartition(parts, "u").localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
-        e1 = _large_star(b, salt).distinct()
-        e2 = _small_star(e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
-                         .where(F.col("u") != F.col("v")).distinct(), salt)
+        e1 = _large_star(b, salt)
+        if big:
+            e1 = e1.distinct()
+        mid = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))\
+            .where(F.col("u") != F.col("v"))
+        if big:
+            mid = mid.distinct()
+        e2 = _small_star(mid, salt)
         b2 = (
             e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .repartition(parts, "u")
-            .localCheckpoint()  # truncate lineage each round
         )
+        if big:
+            b2 = b2.repartition(parts, "u")
+        b2 = b2.localCheckpoint()  # truncate lineage each round
         sig = b2.agg(
             F.count("*").alias("n"),
             # decimal sum: overflow-proof under ANSI mode (Spark 4 default)

@@ -38,6 +38,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # FAIR job scheduling: the graph stage overlaps an iterative CC
+        # (many tiny sequential jobs) with bulk table writes; under FIFO
+        # each CC micro-job queues behind whole write jobs and the
+        # latency-bound thread stretches ~2x
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

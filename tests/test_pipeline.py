@@ -46,6 +46,22 @@ def test_end_to_end_graph_contract(spark, out_dir):
     titles = {r.title for r in nodes.select("title").collect()}
     assert "Ada" not in titles
 
+    # the pipeline emits the GraphRAG-consumed community tables from its
+    # OWN edges (gen_agent/sampling.py:357,390-393) — self-contained
+    comm = spark.read.parquet(f"{out_dir}/communities")
+    reps = spark.read.parquet(f"{out_dir}/community_reports")
+    assert {"community_id", "entity_ids", "n_members"} <= set(comm.columns)
+    assert {"community_id", "title", "n_members", "n_internal_edges",
+            "total_weight", "top_members", "rating"} <= set(reps.columns)
+    # every graph node is in exactly one community; label = min member id
+    members = comm.select(
+        "community_id", F.explode("entity_ids").alias("id"))
+    assert members.select("id").distinct().count() == nodes.count()
+    assert members.groupBy("community_id").agg(
+        F.min("id").alias("m")).where(
+        F.col("m") != F.col("community_id")).count() == 0
+    assert "graph.communities" in metrics.wall_ms
+
 
 def test_sha256_invariant_survives_pipeline(spark, out_dir):
     rf = generate_repo_files(spark, 60).cache()
