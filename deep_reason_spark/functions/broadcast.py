@@ -31,14 +31,24 @@ def estimate_bytes(df: DataFrame) -> int:
             sizes.append(F.lit(8))
         elif t in ("int", "float"):
             sizes.append(F.lit(4))
-        elif t == "boolean":
+        elif t == "smallint":
+            sizes.append(F.lit(2))
+        elif t in ("boolean", "tinyint"):
             sizes.append(F.lit(1))
-        else:
-            # arrays/structs/maps: measure the real payload via its JSON
-            # serialization length — a flat per-row guess under-prices a
-            # 5 KB array as 64 B and broadcasts gigabytes (review finding)
+        elif t.startswith("decimal"):
+            sizes.append(F.lit(16))
+        elif t.startswith(("array", "map", "struct")):
+            # nested: measure the real payload via its JSON serialization
+            # length — a flat per-row guess under-prices a 5 KB array as
+            # 64 B and broadcasts gigabytes (review finding)
             sizes.append(
                 F.coalesce(F.octet_length(F.to_json(F.col(f_.name))), F.lit(0)))
+        else:
+            # unknown scalar: to_json only accepts nested types, so fall
+            # back to the rendered width (r3 review finding)
+            sizes.append(
+                F.coalesce(F.octet_length(F.col(f_.name).cast("string")),
+                           F.lit(0)))
     total = sum(sizes[1:], sizes[0]) if sizes else F.lit(0)
     row = df.agg(F.sum(total.cast("bigint")).alias("b")).first()
     return int(row["b"] or 0)

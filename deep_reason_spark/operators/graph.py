@@ -24,10 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deep_reason_spark.functions.broadcast import (
-    BROADCAST_MAX_BYTES,
-    estimate_bytes,
-)
+from deep_reason_spark.functions import broadcast as _bc
 
 MAX_TEXT_UNITS = 100  # provenance sample cap per edge
 
@@ -36,8 +33,10 @@ def _gate(df: DataFrame):
     """One byte estimate → a join hint reusable across several joins of the
     same map. Entity-scale lookup maps (names, titles, types) grow with the
     corpus: forcing F.broadcast on them is the 100×-scale bug class
-    (VERDICT r2 #2); beyond the gate they shuffle and AQE owns skew."""
-    return (F.broadcast if estimate_bytes(df) <= BROADCAST_MAX_BYTES
+    (VERDICT r2 #2); beyond the gate they shuffle and AQE owns skew.
+    The threshold reads the module global at CALL time (one tunable knob,
+    same contract as broadcast_if_small)."""
+    return (F.broadcast if _bc.estimate_bytes(df) <= _bc.BROADCAST_MAX_BYTES
             else (lambda d: d))
 
 

@@ -67,7 +67,10 @@ def tfidf(documents: DataFrame, text_col: str = "text",
     (doc_id, term, tf, tfidf). idf = ln(n_docs / df); tfidf rounded to 6."""
     toks = tokenize(documents, text_col, id_col)
     n_docs = documents.count()
-    vocab = vocabulary(toks, n_docs)
+    # vocabulary-scale; pinned so the gate's byte estimate reads a
+    # materialized frame instead of re-running the corpus tokenization
+    # (r3 review finding)
+    vocab = vocabulary(toks, n_docs).localCheckpoint()
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # vocabulary is corpus-derived (min_df keeps the long tail), so it can
     # outgrow executor memory at 100× — byte-gate, don't force (VERDICT r2 #2)
@@ -123,8 +126,9 @@ def ctfidf_terms(tokens: DataFrame, assignments: DataFrame, n_docs: int,
     (Σft == kept-token count), so the corpus tokens are scanned once for
     f_t instead of a second full pass for a driver-side count; A rides
     along as a broadcast 1-row frame, not a collected literal."""
-    vocab = vocabulary(tokens, n_docs)
-    kept = tokens.join(broadcast_if_small(vocab.select("term")), "term")
+    # vocabulary-scale; pinned for the same estimate-once reason as tfidf
+    vterms = vocabulary(tokens, n_docs).select("term").localCheckpoint()
+    kept = tokens.join(broadcast_if_small(vterms), "term")
     tagged = kept.join(
         assignments.select(F.col("vec_id").alias("doc_id"), "topic"), "doc_id"
     )

@@ -95,8 +95,10 @@ def drift_anchors(
     → (community_id, anchor)."""
     from deep_reason_spark.operators.communities import global_search_reports
 
+    # communities-scale top-k; pinned so the byte gate below estimates a
+    # materialized frame instead of re-running the report rollup
     primer = global_search_reports(reports, k=top_communities).select(
-        "community_id")
+        "community_id").localCheckpoint()
     asg_s = assignments.select(F.col("entity_id").alias("src"),
                                F.col("community_id").alias("_cs"))
     asg_d = assignments.select(F.col("entity_id").alias("dst"),
@@ -122,6 +124,9 @@ def drift_anchors(
         members.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= anchors_per_community)
         .select("community_id", F.col("entity_id").alias("anchor"))
+        # query-scale; consumed twice downstream (context join + gate
+        # estimate) — pin once
+        .localCheckpoint()
     )
 
 

@@ -25,6 +25,7 @@ failed rows and logs, ``kg_agent/chains.py:286-292,377-387``).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -198,7 +199,9 @@ def run_graph_stage(
         .select("surface", "entity_id", "canonical_id", "canonical_name", "linked")
         .localCheckpoint()
     )
-    hint = (F.broadcast if estimate_bytes(full_map) <= BROADCAST_MAX_BYTES
+    from deep_reason_spark.functions import broadcast as _bc
+    hint = (F.broadcast
+            if estimate_bytes(full_map) <= _bc.BROADCAST_MAX_BYTES
             else (lambda df: df))
     _lap("full_map")
 
@@ -251,9 +254,12 @@ def run_graph_stage(
             pack_communities,
             prune_edges,
         )
-        comm_edges = edge_agg.select(
-            F.col("source").alias("src"), F.col("target").alias("dst"),
-            F.col("weight").cast("bigint").alias("weight"))
+        # one undirected pair per (source, target): edge_agg is keyed per
+        # PREDICATE, and pruning per predicate slice would split a pair
+        # whose aggregate weight clears min_weight (r3 review finding)
+        comm_edges = edge_agg.groupBy(
+            F.col("source").alias("src"), F.col("target").alias("dst")
+        ).agg(F.sum("weight").cast("bigint").alias("weight"))
         kept_edges = prune_edges(
             comm_edges, weight_col="weight",
             min_weight=community_min_weight, max_degree=community_max_degree,
@@ -266,8 +272,29 @@ def run_graph_stage(
         ).localCheckpoint()
         return pack_communities(comm_asg), _community_reports(comm_asg, kept_edges)
 
-    comm_pool = ThreadPoolExecutor(max_workers=1)
-    comm_fut = comm_pool.submit(_build_communities)
+    # daemon thread (an abandoned CC must never block interpreter exit if
+    # a later stage raises) in its own FAIR scheduler pool — pools are
+    # fair-scheduled against each other, while jobs WITHIN a pool are
+    # FIFO, so without the pool split the CC micro-jobs queue behind whole
+    # write jobs (r3 review finding)
+    comm_result: dict = {}
+
+    def _comm_runner():
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "cc")
+        try:
+            comm_result["tables"] = _build_communities()
+        except BaseException as exc:  # noqa: BLE001 — re-raised on join
+            comm_result["error"] = exc
+
+    comm_thread = threading.Thread(
+        target=_comm_runner, daemon=True, name="kg-communities")
+    comm_thread.start()
+
+    def _comm_tables():
+        comm_thread.join()
+        if "error" in comm_result:
+            raise comm_result["error"]
+        return comm_result["tables"]
 
     edges = add_combined_degree(edge_agg)
 
@@ -301,8 +328,8 @@ def run_graph_stage(
         edge_agg, titles, entity_types=canonical_types).localCheckpoint()
     _lap("nodes")
 
-    # the community future resolves inside the concurrent write pool below
-    # (its two writes block on it; the other seven proceed), so the lap
+    # the community thread joins inside the concurrent write pool below
+    # (its two writes block on it; the other eight proceed), so the lap
     # here records only main-thread time — the CC rides entirely under the
     # ontology/nodes/writes laps
     _lap("communities")
@@ -326,7 +353,7 @@ def run_graph_stage(
         .distinct()
     )
 
-    # The 8 output tables are independent given their checkpointed inputs;
+    # The 10 output tables are independent given their checkpointed inputs;
     # submitting the writes CONCURRENTLY overlaps their fixed job-scheduling
     # latency (the graph stage is ~30 small jobs — serialized, their setup
     # cost dominated the stage and capped full-pipeline scaling at 0.56;
@@ -340,8 +367,8 @@ def run_graph_stage(
         lambda: _write_plain("ontology_connections", oconns),
         lambda: _write_plain("kg_nodes", kg_nodes),
         lambda: _write_plain("kg_triplets", kg_triplets),
-        lambda: _write_plain("communities", comm_fut.result()[0]),
-        lambda: _write_plain("community_reports", comm_fut.result()[1]),
+        lambda: _write_plain("communities", _comm_tables()[0]),
+        lambda: _write_plain("community_reports", _comm_tables()[1]),
         lambda: _write_plain(MAPPING_DIR, mapping),
         lambda: write_partitioned(
             nodes.withColumn(
@@ -357,7 +384,6 @@ def run_graph_stage(
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for fut in [pool.submit(j) for j in jobs]:
             fut.result()
-    comm_pool.shutdown()
     _lap("writes")
     metrics.wall_ms["graph"] = int((time.monotonic() - t0) * 1000)
 

@@ -236,13 +236,20 @@ def rerank(retrieved: DataFrame, questions: DataFrame, documents: DataFrame,
     rag/pipeline.py:349-415).
 
     Matching is the same posting-list EQUI-JOIN as the retrieval branch
-    (two-column join on question_id + term), restricted to the retrieved
-    docs — never a substring theta-join (VERDICT r2 #1)."""
+    (two-column join on question_id + term), and the corpus is pruned to
+    the retrieved doc ids BEFORE tokenization — the explode+distinct must
+    never run over documents no question retrieved (r3 review finding) —
+    never a substring theta-join (VERDICT r2 #1)."""
     kw = extract_keywords(questions)
     nkw = kw.groupBy("question_id").agg(F.count("*").alias("n_kw"))
+    # query-scale id set; pinned so the byte gate estimates a materialized
+    # frame instead of re-running the retrieval subplan
+    hit_ids = retrieved.select("doc_id").distinct().localCheckpoint()
+    hit_docs = documents.join(broadcast_if_small(hit_ids), "doc_id",
+                              "left_semi")
     matched = (
         retrieved.select("question_id", "doc_id")
-        .join(doc_terms(documents), "doc_id")
+        .join(doc_terms(hit_docs), "doc_id")
         .join(broadcast_if_small(kw.withColumnRenamed("keyword", "term")),
               ["question_id", "term"])
         .groupBy("question_id", "doc_id")

@@ -39,9 +39,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # FAIR job scheduling: the graph stage overlaps an iterative CC
-        # (many tiny sequential jobs) with bulk table writes; under FIFO
-        # each CC micro-job queues behind whole write jobs and the
-        # latency-bound thread stretches ~2x
+        # (many tiny sequential jobs, submitted in its own on-demand
+        # "cc" pool via setLocalProperty) with bulk table writes in the
+        # default pool; pools are fair-scheduled against each other,
+        # while under FIFO (or within one pool) each CC micro-job queues
+        # behind whole write jobs and the latency-bound thread stretches
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
