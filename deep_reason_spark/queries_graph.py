@@ -1,8 +1,9 @@
 """Driver-contract queries, batch 6 — community detection (c1), index-side
-community reports + global-search reduce (c2), and GraphRAG local-search
-context assembly (ls1). VERDICT r2 tasks 5/6/8.
+community reports + global-search reduce (c2), GraphRAG local search (ls1),
+DRIFT search (ds1), basic search (bs1), and question generation (qg1).
+VERDICT r2 tasks 5/6/8 + missing #3 (all four query modes).
 
-Fixture graph (all three queries): the supplier co-order graph — suppliers
+Fixture graph (all graph queries): the supplier co-order graph — suppliers
 are entities, an edge (s1, s2) carries weight = number of orders both
 supply. Communities = connected components of the modularity-style-pruned
 graph (weight ≥ 30, endpoint degree ≤ 8); the DuckDB oracles replay the
