@@ -141,3 +141,30 @@ def test_basic_search_posting_list_topk(spark):
                   key=lambda r: r["rank"])
     assert [(r["doc_id"], r["score"], r["rank"]) for r in rows] == [
         (1, 3, 1), (2, 2, 2)]
+
+
+def test_empty_and_degenerate_inputs(spark):
+    """Empty edge sets and no-hit questions must yield empty/singleton
+    results, not errors — the resume/incremental paths hit these shapes."""
+    from deep_reason_spark.plans.graph_search import (
+        basic_search_context,
+        drift_search_context,
+        generate_questions,
+    )
+    empty_e = spark.createDataFrame([], "src bigint, dst bigint, weight bigint")
+    assert detect_communities(empty_e, weight_col="weight").count() == 0
+    nodes = spark.createDataFrame([(1,), (2,)], "node bigint")
+    asg = detect_communities(empty_e, all_nodes=nodes, weight_col="weight")
+    assert sorted((r.entity_id, r.community_id) for r in asg.collect()) == [
+        (1, 1), (2, 2)]  # singletons label themselves
+    kept = prune_edges(empty_e, weight_col="weight", min_weight=2, max_degree=4)
+    reps = community_reports(asg, kept).collect()
+    assert {r.rating for r in reps} == {0.0}
+    assert pack_communities(asg).count() == 2
+    units = spark.createDataFrame([], "entity_id bigint, unit_id bigint, score double")
+    er = community_reports(detect_communities(empty_e, weight_col="weight"), kept)
+    assert drift_search_context(er, asg, kept, empty_e, units).count() == 0
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id bigint, text string")
+    qs = spark.createDataFrame([(1, "zzz qqq")], "question_id int, question string")
+    assert basic_search_context(qs, docs).count() == 0
+    assert generate_questions(empty_e).count() == 0

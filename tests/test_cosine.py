@@ -95,3 +95,14 @@ def test_topics_results_invariant_across_gate_branches(spark, monkeypatch):
     monkeypatch.setattr(bc, "BROADCAST_MAX_BYTES", 1)
     gated = sorted(map(tuple, tfidf(docs).collect()))
     assert gated == baseline
+
+
+def test_cosine_topk_empty_probe_side(spark):
+    items = explode_vec(
+        spark.createDataFrame([(1, [1.0, 2.0])], "id int, v array<double>"),
+        ["id"], "v")
+    probes = explode_vec(
+        spark.createDataFrame([], "pid int, v array<double>"),
+        ["pid"], "v").withColumnRenamed("val", "p")
+    assert cosine_topk(items, probes, ["id"], ["pid"], k=1,
+                       probe_val="p").count() == 0

@@ -114,3 +114,14 @@ def test_fulltext_branches_have_no_nested_loop_join(spark):
         F.array_sort(F.collect_set("branch")).alias("branches"))
     scored = rerank(retrieved, qs, docs)
     assert "BroadcastNestedLoopJoin" not in _plan(scored)
+
+
+def test_graph_search_queries_have_no_nested_loop_or_cartesian(spark):
+    """The community/search family must plan as equi-joins + windows —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere (the r2 scale
+    audit's failure class)."""
+    for name in ["c1_communities", "c2_community_reports", "ls1_local_search",
+                 "ds1_drift_search", "bs1_basic_search", "qg1_question_gen"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
