@@ -11,17 +11,42 @@ corpus term frequencies), and the cosine top-k machinery (probe vectors).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BROADCAST_MAX_BYTES = 64 << 20
 
+# estimate memo keyed by the frame's semantic plan hash: a pipeline run
+# gates the same dictionary-scale frame from several operators (e.g. the
+# RAG keyword table in both the retrieval branch and the reranker), and a
+# warm+timed bench runs each query plan twice — one agg job per DISTINCT
+# plan instead of one per gate call (VERDICT r3 task 6). Bounded FIFO so a
+# long session can't grow it without limit; localCheckpoint() creates a
+# fresh RDD-backed plan (new hash), so re-materialized data never reuses a
+# stale estimate.
+_ESTIMATE_CACHE: OrderedDict[int, int] = OrderedDict()
+_ESTIMATE_CACHE_MAX = 256
+ESTIMATE_JOBS = 0  # diagnostic: agg jobs actually run (cache misses)
 
-def estimate_bytes(df: DataFrame) -> int:
+
+def _plan_key(df: DataFrame) -> int | None:
+    try:
+        return df.semanticHash()
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        return None
+
+
+def estimate_bytes(df: DataFrame, use_cache: bool = True) -> int:
     """Cheap byte estimate of a materialized DataFrame: one agg summing
     per-row payload (octet_length for strings/binary, fixed widths for
     numerics). Exact enough for a broadcast gate; runs as a single
-    partial-aggregated pass over an already-materialized frame."""
+    partial-aggregated pass over an already-materialized frame, memoized
+    per semantic plan (``use_cache=False`` forces a fresh job)."""
+    key = _plan_key(df) if use_cache else None
+    if key is not None and key in _ESTIMATE_CACHE:
+        return _ESTIMATE_CACHE[key]
     sizes = []
     for f_ in df.schema.fields:
         t = f_.dataType.simpleString()
@@ -51,7 +76,14 @@ def estimate_bytes(df: DataFrame) -> int:
                            F.lit(0)))
     total = sum(sizes[1:], sizes[0]) if sizes else F.lit(0)
     row = df.agg(F.sum(total.cast("bigint")).alias("b")).first()
-    return int(row["b"] or 0)
+    val = int(row["b"] or 0)
+    global ESTIMATE_JOBS
+    ESTIMATE_JOBS += 1
+    if key is not None:
+        _ESTIMATE_CACHE[key] = val
+        while len(_ESTIMATE_CACHE) > _ESTIMATE_CACHE_MAX:
+            _ESTIMATE_CACHE.popitem(last=False)
+    return val
 
 
 def broadcast_if_small(df: DataFrame,

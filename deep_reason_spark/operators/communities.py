@@ -50,11 +50,25 @@ def prune_edges(
 
     Keeps edges with weight ≥ min_weight whose BOTH endpoints have degree
     ≤ max_degree on the weight-filtered undirected graph. Degrees are
-    computed once on the symmetric edge set (one groupBy)."""
-    w = F.col(weight_col) if weight_col else F.lit(1)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("weight")
-    ).where(F.col("weight") >= min_weight)
+    computed once on the symmetric edge set (one groupBy).
+
+    With ``weight_col=None`` each DISTINCT (src, dst) pair counts as one
+    weight-1 edge — duplicate input rows are deduped so they cannot inflate
+    community_reports' internal edge/degree rollups (ADVICE r3); callers
+    wanting multiplicity as weight must pre-aggregate and pass
+    ``weight_col``."""
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("weight", F.lit(1))
+            .where(F.lit(1) >= F.lit(min_weight))
+        )
+    else:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.col(weight_col).alias("weight"),
+        ).where(F.col("weight") >= min_weight)
     if max_degree is None:
         return e
     und = e.select("src", "dst").union(

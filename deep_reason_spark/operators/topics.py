@@ -135,13 +135,18 @@ def ctfidf_terms(tokens: DataFrame, assignments: DataFrame, n_docs: int,
     tf_tc = tagged.groupBy("topic", "term").agg(F.count("*").alias("tf"))
     # vocabulary-scale; checkpointed so the estimate/agg/join reuse one pass
     f_t = kept.groupBy("term").agg(F.count("*").alias("ft")).localCheckpoint()
-    consts = f_t.agg(
-        (F.sum("ft").cast("double") / F.lit(float(n_topics))).alias("_a"))
-    scored = tf_tc.join(broadcast_if_small(f_t), "term").crossJoin(
-        F.broadcast(consts)
-    ).select(
+    # the scalar A rides in as a window-free ScalarSubquery (one subquery
+    # job, folded into the expression at runtime) — a crossJoin(broadcast(1
+    # row)) is harmless at one row but plans as the BroadcastNestedLoopJoin
+    # shape the engine's scale-audit tests forbid everywhere else, and a
+    # literal-key equi-join gets its condition constant-folded away and
+    # degenerates right back to that nested loop (ADVICE r3)
+    a_scalar = f_t.agg(
+        (F.sum("ft").cast("double") / F.lit(float(n_topics))).alias("_a")
+    ).scalar()
+    scored = tf_tc.join(broadcast_if_small(f_t), "term").select(
         "topic", "term",
-        F.round(F.col("tf") * F.log(F.lit(1.0) + F.col("_a") / F.col("ft")), 6)
+        F.round(F.col("tf") * F.log(F.lit(1.0) + a_scalar / F.col("ft")), 6)
         .alias("score"),
     )
     w = Window.partitionBy("topic").orderBy(F.desc("score"), F.asc("term"))

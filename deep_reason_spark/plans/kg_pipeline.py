@@ -55,9 +55,12 @@ EDGES_DIR = "edges"
 MAPPING_DIR = "entity_mapping"
 
 # byte-gated broadcast guard — shared engine-wide (functions/broadcast.py);
-# re-exported here for existing call sites and tests
+# the function names are re-exported for existing call sites and tests, but
+# the tuning knob lives ONLY at functions.broadcast.BROADCAST_MAX_BYTES
+# (gates read the module global at call time — re-exporting the constant
+# here made setting kg_pipeline.BROADCAST_MAX_BYTES a silent no-op,
+# ADVICE r3)
 from deep_reason_spark.functions.broadcast import (  # noqa: E402,F401
-    BROADCAST_MAX_BYTES,
     broadcast_if_small,
     estimate_bytes,
 )
@@ -254,11 +257,14 @@ def run_graph_stage(
             pack_communities,
             prune_edges,
         )
-        # one undirected pair per (source, target): edge_agg is keyed per
-        # PREDICATE, and pruning per predicate slice would split a pair
-        # whose aggregate weight clears min_weight (r3 review finding)
+        # one undirected pair per entity pair: edge_agg is keyed per
+        # PREDICATE and per DIRECTION, and pruning per slice would split a
+        # pair whose aggregate weight clears min_weight (r3 review finding
+        # for predicates; ADVICE r3 for reciprocal a→b / b→a edges, which
+        # also double-counted in community_reports' internal-degree rollup)
         comm_edges = edge_agg.groupBy(
-            F.col("source").alias("src"), F.col("target").alias("dst")
+            F.least("source", "target").alias("src"),
+            F.greatest("source", "target").alias("dst"),
         ).agg(F.sum("weight").cast("bigint").alias("weight"))
         kept_edges = prune_edges(
             comm_edges, weight_col="weight",

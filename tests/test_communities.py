@@ -168,3 +168,16 @@ def test_empty_and_degenerate_inputs(spark):
     qs = spark.createDataFrame([(1, "zzz qqq")], "question_id int, question string")
     assert basic_search_context(qs, docs).count() == 0
     assert generate_questions(empty_e).count() == 0
+
+
+def test_prune_edges_dedupes_unweighted_duplicates(spark):
+    # ADVICE r3: weight_col=None must count one weight-1 edge per DISTINCT
+    # (src, dst) pair — duplicate rows must not inflate report rollups
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (2, 3)], "src bigint, dst bigint")
+    kept = prune_edges(dup).collect()
+    pairs = sorted((r.src, r.dst, r.weight) for r in kept)
+    assert pairs == [(1, 2, 1), (2, 3, 1)]
+    # and min_weight > 1 keeps the old all-dropped semantics (each distinct
+    # pair has weight exactly 1)
+    assert prune_edges(dup, min_weight=2).count() == 0

@@ -158,3 +158,25 @@ def test_broadcast_guard_is_byte_aware(spark):
     p1 = probe.join(hinted, probe.id2 == hinted.id)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in p1
+
+
+def test_estimate_bytes_memoized_per_plan(spark):
+    """VERDICT r3 task 6: one agg job per distinct gated plan — a second
+    gate call on a semantically-equal frame must be a cache hit."""
+    from deep_reason_spark.functions import broadcast as bc
+
+    base = spark.createDataFrame([(i, "x" * 8) for i in range(50)],
+                                 "id bigint, s string")
+    # two semantically-equal builds of the same plan (fresh objects)
+    a = base.select("id", "s").where(F.col("id") >= 0)
+    b = base.select("id", "s").where(F.col("id") >= 0)
+    before = bc.ESTIMATE_JOBS
+    ea = bc.estimate_bytes(a)
+    mid = bc.ESTIMATE_JOBS
+    eb = bc.estimate_bytes(b)
+    after = bc.ESTIMATE_JOBS
+    assert ea == eb
+    assert mid == before + 1   # first call runs the agg
+    assert after == mid        # second call is a cache hit
+    assert bc.estimate_bytes(b, use_cache=False) == eb  # forced fresh job
+    assert bc.ESTIMATE_JOBS == after + 1

@@ -86,3 +86,19 @@ def test_topic_info_shape_and_name(spark):
     info = {r.topic: r for r in topic_info(asg, terms).collect()}
     assert info[0]["count"] == 2 and info[1]["count"] == 1
     assert info[0].name.startswith("0_")
+
+
+def test_ctfidf_constants_join_is_not_nested_loop(spark):
+    # ADVICE r3: the 1-row constants frame must ride a literal-key
+    # BroadcastHashJoin, not the BroadcastNestedLoopJoin a crossJoin plans
+    d = _docs(spark, [(0, "solar panel energy"), (1, "solar grid energy"),
+                      (2, "neural network model"), (3, "neural train model")])
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+         (2, [0.0, 1.0], 1), (3, [0.1, 0.9], 1)],
+        "vec_id bigint, embedding array<float>, label int")
+    asg = assign_topics(e, seeded_centroids(e))
+    terms = ctfidf_terms(tokenize(d), asg, n_docs=4, n_topics=2, top_n=3)
+    plan = terms._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
