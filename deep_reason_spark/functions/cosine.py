@@ -58,6 +58,7 @@ def cosine_topk(
     score_name: str = "cos",
     item_val: str = "val",
     probe_val: str = "val",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by cosine between every (item, probe) pair.
 
@@ -72,15 +73,27 @@ def cosine_topk(
     ``partition``: "probe" ranks items within each probe (retrieval top-k);
     "item" ranks probes within each item (nearest-centroid assignment).
     Returns probe_ids + item_ids + score_name + rank (1-based, ≤ k).
+
+    ``candidates`` — optional (probe_ids..., item_ids...) pair table: the
+    ANN pruning hook (VERDICT r3 task 2). When given, dot products are
+    computed ONLY for listed pairs — the items side joins the candidate
+    list on item_ids first (shuffle equi-join, AQE-managed), so each probe
+    scans its probed IVF cells instead of the whole corpus. Pairs whose
+    vectors share no dimension score no row (dot 0), same as the unpruned
+    inverted-index fold.
     """
     if item_val == probe_val:
         raise ValueError("item_val and probe_val must differ (join ambiguity)")
     probes_ex = probes_ex.localCheckpoint(eager=True)
     pnorm = broadcast_if_small(fold_norm(probes_ex, probe_ids, probe_val, "_pn"))
     inorm = fold_norm(items_ex, item_ids, item_val, "_in")
+    if candidates is None:
+        paired = items_ex.join(broadcast_if_small(probes_ex), "dim")
+    else:
+        paired = candidates.join(items_ex, item_ids).join(
+            broadcast_if_small(probes_ex), [*probe_ids, "dim"])
     dots = (
-        items_ex.join(broadcast_if_small(probes_ex), "dim")
-        .groupBy(*probe_ids, *item_ids)
+        paired.groupBy(*probe_ids, *item_ids)
         .agg(F.sum((F.col(item_val) * F.col(probe_val)).cast(DEC))
              .cast("double").alias("_dot"))
     )
@@ -113,19 +126,30 @@ def cosine_topk_sql(
     probe_val: str = "val",
     out: str = "ck_topk",
     prefix: str = "ck_",
+    candidates: str | None = None,
 ) -> str:
     """DuckDB CTE chain mirroring :func:`cosine_topk` bit-for-bit.
 
     ``items``/``probes`` name CTEs (or tables) already shaped
-    (ids..., dim, val). Emits ``{prefix}inorm/pnorm/dots/scored`` and the
-    final ``{out}`` CTE with (probe_ids..., item_ids..., score, rank ≤ k).
-    Embed inside a WITH chain: ``WITH ..., {cosine_topk_sql(...)}``."""
+    (ids..., dim, val); ``candidates`` optionally names a
+    (probe_ids..., item_ids...) pair CTE mirroring the ANN pruning hook.
+    Emits ``{prefix}inorm/pnorm/dots/scored`` and the final ``{out}`` CTE
+    with (probe_ids..., item_ids..., score, rank ≤ k). Embed inside a WITH
+    chain: ``WITH ..., {cosine_topk_sql(...)}``."""
     iids = ", ".join(item_ids)
     pids = ", ".join(probe_ids)
     i_q = ", ".join(f"i.{c}" for c in item_ids)
     p_q = ", ".join(f"p.{c}" for c in probe_ids)
     part, ties = (pids, item_ids) if partition == "probe" else (iids, probe_ids)
     tie_sql = ", ".join(f"{c} ASC" for c in ties)
+    if candidates is None:
+        dots_from = f"FROM {items} i JOIN {probes} p USING (dim)"
+    else:
+        i_on = " AND ".join(f"i.{c} = cd.{c}" for c in item_ids)
+        p_on = " AND ".join(f"p.{c} = cd.{c}" for c in probe_ids)
+        dots_from = (f"FROM {candidates} cd\n"
+                     f"  JOIN {items} i ON {i_on}\n"
+                     f"  JOIN {probes} p ON {p_on} AND p.dim = i.dim")
     return f"""{prefix}inorm AS (
   SELECT {iids},
          sqrt(CAST(SUM(CAST({item_val} * {item_val} AS DECIMAL(28,10))) AS DOUBLE)) AS _in
@@ -139,7 +163,7 @@ def cosine_topk_sql(
 {prefix}dots AS (
   SELECT {p_q}, {i_q},
          CAST(SUM(CAST(i.{item_val} * p.{probe_val} AS DECIMAL(28,10))) AS DOUBLE) AS _dot
-  FROM {items} i JOIN {probes} p USING (dim)
+  {dots_from}
   GROUP BY {p_q}, {i_q}
 ),
 {prefix}scored AS (

@@ -636,10 +636,11 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# U3 — multi-query planner + vector retrieval + content dedup
+# U3 — multi-query planner + IVF vector retrieval + content dedup
 # (rag/pipeline.py:275-334: planned = {question} ∪ sub-queries, retrieve
-# top-k per planned query, union, dedup by content). The deterministic
-# feature-hash embedding and the whole retrieval are mirrored in SQL.
+# top-k per planned query THROUGH the multi-probe IVF index, union, dedup
+# by content). The deterministic feature-hash embedding, the centroid
+# probing, the cell-pruned cosine and the dedup are all mirrored in SQL.
 # ---------------------------------------------------------------------------
 
 def q_u3_planned_vector(spark, sf_dir):
@@ -652,13 +653,19 @@ def q_u3_planned_vector(spark, sf_dir):
 
 def _oracle_u3() -> str:
     from deep_reason_spark.functions.cosine import cosine_topk_sql
+    from deep_reason_spark.plans.rag_pipeline import NPROBE
+    from deep_reason_spark.queries_topics import _SQL_ASSIGN, _SQL_EX
     vals = ", ".join(f"({i}, '{q}')" for i, q in _RAG_QS)
     stop = ", ".join(f"'{w}'" for w in _RAG_STOP)
+    _probe_cte = cosine_topk_sql(
+        items="qvec", probes="cents", item_ids=["question_id", "query_id"],
+        probe_ids=["label"], k=NPROBE, partition="item", score_name="ccos",
+        item_val="qcomp", probe_val="c", out="ck_probe", prefix="pb_")
     _u3_rank_cte = cosine_topk_sql(
         items="cand", probes="qvec", item_ids=["doc_id"],
         probe_ids=["question_id", "query_id"], k=3, partition="probe",
         score_name="cos", item_val="val", probe_val="qcomp",
-        out="ck_hits", prefix="u3_")
+        out="ck_hits", prefix="u3_", candidates="cdpairs")
     return f"""
 WITH q(question_id, question) AS (VALUES {vals}),
 kw AS (
@@ -694,16 +701,22 @@ comp AS (
               THEN 1 ELSE -1 END AS s
   FROM ptoks
 ),
-qvec AS (
+qvec AS MATERIALIZED (
   SELECT question_id, query_id, dim, CAST(SUM(s) AS BIGINT) AS qcomp
   FROM comp GROUP BY question_id, query_id, dim
   HAVING CAST(SUM(s) AS BIGINT) != 0
 ),
-cand AS (
-  SELECT vec_id AS doc_id, CAST(i AS INT) - 1 AS dim,
-         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+{_SQL_EX},
+{_SQL_ASSIGN},
+cells AS (SELECT vec_id AS doc_id, topic AS cell FROM assign),
+{_probe_cte},
+cdpairs AS (
+  SELECT p.question_id, p.query_id, c.doc_id
+  FROM cells c
+  JOIN (SELECT question_id, query_id, label AS cell FROM ck_probe) p
+    ON p.cell = c.cell
 ),
+cand AS (SELECT vec_id AS doc_id, dim, val FROM ex),
 {_u3_rank_cte},
 hits AS (SELECT question_id, doc_id FROM ck_hits),
 fp AS (
@@ -711,6 +724,58 @@ fp AS (
   FROM hits h JOIN documents d USING (doc_id)
 )
 SELECT question_id, MIN(doc_id) AS doc_id FROM fp GROUP BY question_id, fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# S11/V7 — RAG IVF vector retrieval (the ENGINE's vector_branch): direct
+# question vectors ranked against the coarse centroids, NPROBE nearest
+# cells scanned via the materialized cell assignment, exact cosine only on
+# candidate pairs (VERDICT r3 task 2 — the ES dense_vector index analogue,
+# rag/en-es-index-body.yaml:31-36)
+# ---------------------------------------------------------------------------
+
+def q_rag_ivf_retrieval(spark, sf_dir):
+    from deep_reason_spark.plans.rag_pipeline import vector_branch
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("question_vec"),
+    )
+    return vector_branch(qs, emb, top_k=3).select("question_id", "doc_id")
+
+
+def _oracle_rag_ivf() -> str:
+    from deep_reason_spark.functions.cosine import cosine_topk_sql
+    from deep_reason_spark.plans.rag_pipeline import NPROBE
+    from deep_reason_spark.queries_topics import _SQL_ASSIGN, _SQL_EX
+    _probe_cte = cosine_topk_sql(
+        items="qex", probes="cents", item_ids=["question_id"],
+        probe_ids=["label"], k=NPROBE, partition="item", score_name="ccos",
+        item_val="q", probe_val="c", out="ck_probe", prefix="pb_")
+    _hit_cte = cosine_topk_sql(
+        items="cand", probes="qex", item_ids=["doc_id"],
+        probe_ids=["question_id"], k=3, partition="probe", score_name="cos",
+        item_val="val", probe_val="q", candidates="cdpairs",
+        out="ck_hits", prefix="hv_")
+    return f"""
+WITH {_SQL_EX},
+{_SQL_ASSIGN},
+cells AS (SELECT vec_id AS doc_id, topic AS cell FROM assign),
+qex AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS question_id, dim, val AS q
+  FROM ex WHERE vec_id < 3
+),
+{_probe_cte},
+cdpairs AS (
+  SELECT p.question_id, c.doc_id
+  FROM cells c
+  JOIN (SELECT question_id, label AS cell FROM ck_probe) p ON p.cell = c.cell
+),
+cand AS (SELECT vec_id AS doc_id, dim, val FROM ex),
+{_hit_cte}
+SELECT question_id, doc_id FROM ck_hits
 """
 
 
@@ -768,6 +833,7 @@ FROM comp
 
 
 EXTRA_QUERIES = {
+    "rag_ivf_retrieval": q_rag_ivf_retrieval,
     "rag_fulltext_lifecycle": q_rag_fulltext_lifecycle,
     "u3_planned_vector": q_u3_planned_vector,
     "aq1_answer_quality": q_aq1_answer_quality,
@@ -789,6 +855,7 @@ EXTRA_QUERIES = {
 
 def extra_oracles() -> dict[str, str]:
     return {
+        "rag_ivf_retrieval": _oracle_rag_ivf(),
         "rag_fulltext_lifecycle": _oracle_rag(),
         "u3_planned_vector": _oracle_u3(),
         "aq1_answer_quality": ORACLE_AQ1,

@@ -47,9 +47,11 @@ vocab AS (
          <= CAST(FLOOR({MAX_DF_RATIO} * (SELECT n FROM nd)) AS BIGINT)
 )"""
 
-# exploded embedding values: (vec_id, label, dim 0-based, val double)
+# exploded embedding values: (vec_id, label, dim 0-based, val double).
+# MATERIALIZED: referenced 2-4x downstream (norms, dots, candidate scans) —
+# DuckDB inlines multiply-referenced CTEs (CLAUDE.md oracle hygiene)
 _SQL_EX = """
-ex AS (
+ex AS MATERIALIZED (
   SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
@@ -59,7 +61,7 @@ ex AS (
 # DECIMAL(28,10) folds, round 6) — shared with the multi-probe IVF oracle
 # in queries_extra.py
 _SQL_CENTS = """
-cents AS (
+cents AS MATERIALIZED (
   SELECT label, dim,
          ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS c
   FROM ex GROUP BY label, dim

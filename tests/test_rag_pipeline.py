@@ -158,3 +158,47 @@ def test_two_branch_union_marks_sources(spark, docs, emb):
     )
     answers = run_rag_pipeline(qs, docs, embeddings=emb)
     assert answers.count() == 2
+
+
+def test_ivf_recall_matches_brute_force(spark, emb):
+    """VERDICT r3 task 2: recall@k = 1.0 vs the brute-force verifier on the
+    fixture corpus. The sf0.001 embeddings are near-uniform (no cluster
+    structure), so true neighbors scatter across cells — nprobe=6 of 10
+    cells is the measured 1.0-recall point here (a clustered production
+    corpus reaches it far earlier; nprobe is the recall/cost knob). The
+    nprobe = num_cells limit must equal brute force EXACTLY."""
+    from deep_reason_spark.plans.rag_pipeline import vector_branch_exact
+
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("int").alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("question_vec"),
+    )
+    exact_hits = {(r.question_id, r.doc_id)
+                  for r in vector_branch_exact(qs, emb, top_k=3).collect()}
+    assert len(exact_hits) == 15
+
+    ivf6 = {(r.question_id, r.doc_id)
+            for r in vector_branch(qs, emb, top_k=3, nprobe=6).collect()}
+    assert len(ivf6 & exact_hits) / len(exact_hits) == 1.0
+
+    n_cells = emb.select("label").distinct().count()
+    ivf_all = {(r.question_id, r.doc_id)
+               for r in vector_branch(qs, emb, top_k=3, nprobe=n_cells).collect()}
+    assert ivf_all == exact_hits  # exhaustive probing == brute force
+
+
+def test_vector_branches_never_scan_corpus_per_query(spark, docs, emb):
+    """VERDICT r3 task 2 plan audit: neither vector branch may plan a
+    crossJoin / nested-loop against the corpus — retrieval goes through the
+    IVF cell equi-joins."""
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("question_vec"),
+    )
+    for df in (vector_branch(qs, emb),
+               planned_vector_branch(_questions(spark), emb, docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
