@@ -157,6 +157,142 @@ def ctfidf_terms(tokens: DataFrame, assignments: DataFrame, n_docs: int,
     )
 
 
+MMR_DIVERSITY = 0.5   # muli_aspect.py:21 MaximalMarginalRelevance(diversity=0.5)
+
+
+def term_similarities(topic_terms: DataFrame) -> DataFrame:
+    """Symmetric cosine similarity between co-candidate top terms →
+    (t1, t2, sim). A term's vector is its c-TF-IDF score profile across
+    topics (the top-term matrix from :func:`ctfidf_terms`); only pairs
+    that share at least one topic's candidate list are materialized —
+    top_n² per topic, vocabulary-scale. Exact decimal folds + round 6."""
+    cand = topic_terms.select("topic", "term", "score")
+    pairs = (
+        cand.alias("a").join(cand.alias("b"), "topic")
+        .where(F.col("a.term") < F.col("b.term"))
+        .select(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .distinct()
+    )
+    va = cand.select(F.col("term").alias("t1"), "topic",
+                     F.col("score").alias("s1"))
+    vb = cand.select(F.col("term").alias("t2"), "topic",
+                     F.col("score").alias("s2"))
+    dots = (
+        pairs.join(va, "t1").join(vb, ["t2", "topic"])
+        .groupBy("t1", "t2")
+        .agg(F.sum((F.col("s1") * F.col("s2")).cast(_DEC))
+             .cast("double").alias("_dot"))
+    )
+    norms = cand.groupBy("term").agg(
+        F.sqrt(F.sum((F.col("score") * F.col("score")).cast(_DEC))
+               .cast("double")).alias("_n"))
+    sims = (
+        dots.join(norms.select(F.col("term").alias("t1"),
+                               F.col("_n").alias("_n1")), "t1")
+        .join(norms.select(F.col("term").alias("t2"),
+                           F.col("_n").alias("_n2")), "t2")
+        .select("t1", "t2",
+                F.round(F.col("_dot") / (F.col("_n1") * F.col("_n2")), 6)
+                .alias("sim"))
+    )
+    return sims.union(
+        sims.select(F.col("t2").alias("t1"), F.col("t1").alias("t2"), "sim"))
+
+
+def mmr_terms(topic_terms: DataFrame, n_select: int = 4,
+              diversity: float = MMR_DIVERSITY) -> DataFrame:
+    """Deterministic MaximalMarginalRelevance over the c-TF-IDF top terms
+    (the reference's MMR aspect, ``topic_modeling/bertopic/muli_aspect.py:
+    12-24``) → (topic, term, sel_rank).
+
+    Greedy per topic: relevance = score / topic max (round 6); first pick
+    = rank-1 term; each next pick maximizes round((1-diversity)·rel −
+    diversity·max sim to already-selected, 6), ties on term asc. The loop
+    unrolls n_select−1 joins over the top_n×k candidate table (vocabulary-
+    scale; checkpointed per step so plans stay bounded)."""
+    maxs = topic_terms.groupBy("topic").agg(F.max("score").alias("_mx"))
+    rel = (
+        topic_terms.join(maxs, "topic")
+        .select("topic", "term", "rank",
+                F.round(F.col("score") / F.col("_mx"), 6).alias("rel"))
+        .localCheckpoint()
+    )
+    sims = term_similarities(topic_terms).localCheckpoint()
+    selected = rel.where(F.col("rank") == 1).select(
+        "topic", "term", F.lit(1).alias("sel_rank"))
+    for step in range(2, n_select + 1):
+        remaining = rel.join(selected.select("topic", "term"),
+                             ["topic", "term"], "left_anti")
+        maxsim = (
+            remaining.select("topic", F.col("term").alias("t1"))
+            .join(selected.select("topic", F.col("term").alias("t2")), "topic")
+            .join(sims, ["t1", "t2"])
+            .groupBy("topic", F.col("t1").alias("term"))
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = remaining.join(maxsim, ["topic", "term"]).select(
+            "topic", "term",
+            F.round(F.lit(1.0 - diversity) * F.col("rel")
+                    - F.lit(diversity) * F.col("_ms"), 6).alias("_mmr"),
+        )
+        w = Window.partitionBy("topic").orderBy(F.desc("_mmr"), F.asc("term"))
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("topic", "term", F.lit(step).alias("sel_rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
+POS_NOUNISH = "(ing|ed|ly)$"  # drop verb/adverb-looking suffixes
+
+
+def pos_terms(topic_terms: DataFrame, name_terms: int = 4) -> DataFrame:
+    """Part-of-speech-heuristic aspect (``muli_aspect.py:16-20`` uses a
+    POS tagger; deterministic analogue: keep noun-looking terms — length
+    ≥ 4 and no verb/adverb suffix — in c-TF-IDF rank order) →
+    (topic, term, sel_rank)."""
+    kept = topic_terms.where(
+        (F.length("term") >= 4) & ~F.col("term").rlike(POS_NOUNISH))
+    w = Window.partitionBy("topic").orderBy("rank")
+    return (
+        kept.withColumn("sel_rank", F.row_number().over(w))
+        .where(F.col("sel_rank") <= name_terms)
+        .select("topic", "term", "sel_rank")
+    )
+
+
+def _join_name(sel: DataFrame, out: str) -> DataFrame:
+    """(topic, term, sel_rank) → (topic, out): terms joined '_' in
+    selection order via the bounded array_sort trick."""
+    return sel.groupBy("topic").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sel_rank", "term"))),
+                lambda x: x["term"],
+            ), "_",
+        ).alias(out)
+    )
+
+
+def topic_aspects(assignments: DataFrame, topic_terms: DataFrame,
+                  name_terms: int = 4,
+                  diversity: float = MMR_DIVERSITY) -> DataFrame:
+    """``get_topic_info()`` with the reference's representation aspects
+    (``muli_aspect.py:12-27`` exports aspect columns next to the main
+    name): (topic, count, name, mmr_name, pos_name)."""
+    info = topic_info(assignments, topic_terms, name_terms)
+    mmr = _join_name(mmr_terms(topic_terms, name_terms, diversity), "mmr_name")
+    pos = _join_name(pos_terms(topic_terms, name_terms), "pos_name")
+    return (
+        info.join(mmr, "topic", "left").join(pos, "topic", "left")
+        .select("topic", "count", "name",
+                F.coalesce("mmr_name", F.lit("")).alias("mmr_name"),
+                F.coalesce("pos_name", F.lit("")).alias("pos_name"))
+    )
+
+
 def topic_info(assignments: DataFrame, topic_terms: DataFrame,
                name_terms: int = 4) -> DataFrame:
     """``get_topic_info()`` shape: (topic, count, name) where name is

@@ -198,13 +198,145 @@ FROM counts c LEFT JOIN names n USING (topic)
 """
 
 
+# ---------------------------------------------------------------------------
+# T9 — multi-aspect topic representations (VERDICT r3 task 4): the
+# reference trains three aspects — KeyBERT-ish main name, POS, and
+# MaximalMarginalRelevance diversity 0.5 — and exports the aspect columns
+# in get_topic_info() (topic_modeling/bertopic/muli_aspect.py:12-27).
+# Deterministic analogues: MMR greedily diversifies the c-TF-IDF top terms
+# using cosine over their cross-topic score vectors; POS keeps noun-
+# looking terms. The greedy loop unrolls to (name_terms − 1) CTE steps so
+# the oracle replays the exact selection.
+# ---------------------------------------------------------------------------
+
+def _mmr_sql(n_select: int = 4, diversity: float = 0.5) -> str:
+    """CTE chain mirroring operators/topics.py mmr_terms step-for-step.
+    Emits mm_rel / mm_sims / mm_prev{i} / mm_step{i} and the final
+    ``mm_sel`` (topic, term, sel_rank)."""
+    w_rel = round(1.0 - diversity, 6)
+    w_div = round(diversity, 6)
+    parts = [f"""mm_rel AS MATERIALIZED (
+  SELECT t.topic, t.term, t.rank, ROUND(t.score / m.mx, 6) AS rel
+  FROM topic_terms t
+  JOIN (SELECT topic, MAX(score) AS mx FROM topic_terms GROUP BY topic) m
+    USING (topic)
+),
+mm_pairs AS (
+  SELECT DISTINCT a.term AS t1, b.term AS t2
+  FROM topic_terms a JOIN topic_terms b
+    ON a.topic = b.topic AND a.term < b.term
+),
+mm_norms AS MATERIALIZED (
+  SELECT term,
+         sqrt(CAST(SUM(CAST(score * score AS DECIMAL(28,10))) AS DOUBLE)) AS n
+  FROM topic_terms GROUP BY term
+),
+mm_dots AS (
+  SELECT p.t1, p.t2,
+         CAST(SUM(CAST(va.score * vb.score AS DECIMAL(28,10))) AS DOUBLE) AS dot
+  FROM mm_pairs p
+  JOIN topic_terms va ON va.term = p.t1
+  JOIN topic_terms vb ON vb.term = p.t2 AND vb.topic = va.topic
+  GROUP BY p.t1, p.t2
+),
+mm_half AS (
+  SELECT d.t1, d.t2, ROUND(d.dot / (n1.n * n2.n), 6) AS sim
+  FROM mm_dots d JOIN mm_norms n1 ON n1.term = d.t1
+                 JOIN mm_norms n2 ON n2.term = d.t2
+),
+mm_sims AS MATERIALIZED (
+  SELECT t1, t2, sim FROM mm_half
+  UNION ALL
+  SELECT t2 AS t1, t1 AS t2, sim FROM mm_half
+),
+mm_prev2 AS (SELECT topic, term, 1 AS sel_rank FROM mm_rel WHERE rank = 1)"""]
+    for i in range(2, n_select + 1):
+        parts.append(f"""mm_step{i} AS (
+  SELECT topic, term, {i} AS sel_rank FROM (
+    SELECT s.topic, s.term,
+           ROW_NUMBER() OVER (PARTITION BY s.topic
+                              ORDER BY s.mmr DESC, s.term ASC) AS rn
+    FROM (
+      SELECT r.topic, r.term,
+             ROUND({w_rel} * r.rel - {w_div} * MAX(sm.sim), 6) AS mmr
+      FROM mm_rel r
+      JOIN mm_prev{i} sel ON sel.topic = r.topic
+      JOIN mm_sims sm ON sm.t1 = r.term AND sm.t2 = sel.term
+      WHERE NOT EXISTS (SELECT 1 FROM mm_prev{i} x
+                        WHERE x.topic = r.topic AND x.term = r.term)
+      GROUP BY r.topic, r.term, r.rel
+    ) s
+  ) WHERE rn = 1
+),
+mm_prev{i + 1} AS (
+  SELECT * FROM mm_prev{i} UNION ALL SELECT * FROM mm_step{i}
+)""")
+    parts.append(f"mm_sel AS (SELECT * FROM mm_prev{n_select + 1})")
+    return ",\n".join(parts)
+
+
+def q_t9_topic_aspects(spark, sf_dir):
+    from deep_reason_spark.operators.topics import topic_aspects
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    toks = tokenize(d)
+    n_docs = d.count()
+    n_topics = e.select("label").distinct().count()
+    asg = _spark_assignments(spark, sf_dir).localCheckpoint()
+    terms = ctfidf_terms(toks, asg, n_docs, n_topics, top_n=10).localCheckpoint()
+    return topic_aspects(asg, terms).select(
+        "topic", F.col("count").alias("doc_count"),
+        "name", "mmr_name", "pos_name")
+
+
+def _oracle_t9() -> str:
+    from deep_reason_spark.operators.topics import (
+        MMR_DIVERSITY,
+        POS_NOUNISH,
+    )
+    return f"""
+WITH {_SQL_TOKS},
+{_SQL_EX},
+{_SQL_ASSIGN},
+{_SQL_CTFIDF},
+{_mmr_sql(4, MMR_DIVERSITY)},
+mm_names AS (
+  SELECT topic, string_agg(term, '_' ORDER BY sel_rank) AS mmr_name
+  FROM mm_sel GROUP BY topic
+),
+pos_names AS (
+  SELECT topic, string_agg(term, '_' ORDER BY sel_rank) AS pos_name FROM (
+    SELECT topic, term,
+           ROW_NUMBER() OVER (PARTITION BY topic ORDER BY rank) AS sel_rank
+    FROM topic_terms
+    WHERE length(term) >= 4 AND NOT regexp_matches(term, '{POS_NOUNISH}')
+  ) WHERE sel_rank <= 4 GROUP BY topic
+),
+counts AS (SELECT topic, COUNT(*) AS doc_count FROM assign GROUP BY topic),
+names AS (
+  SELECT topic, string_agg(term, '_' ORDER BY rank) AS terms_joined
+  FROM topic_terms WHERE rank <= 4 GROUP BY topic
+)
+SELECT c.topic, c.doc_count,
+       CAST(c.topic AS VARCHAR) || '_' || COALESCE(n.terms_joined, '') AS name,
+       COALESCE(m.mmr_name, '') AS mmr_name,
+       COALESCE(p.pos_name, '') AS pos_name
+FROM counts c
+LEFT JOIN names n USING (topic)
+LEFT JOIN mm_names m USING (topic)
+LEFT JOIN pos_names p USING (topic)
+"""
+
+
 TOPIC_QUERIES = {
+    "t9_topic_aspects": q_t9_topic_aspects,
     "t6_tfidf": q_t6_tfidf,
     "t7_topic_terms": q_t7_topic_terms,
     "t8_topic_info": q_t8_topic_info,
 }
 
 TOPIC_ORACLES = {
+    "t9_topic_aspects": _oracle_t9(),
     "t6_tfidf": ORACLE_T6,
     "t7_topic_terms": ORACLE_T7,
     "t8_topic_info": ORACLE_T8,

@@ -102,3 +102,61 @@ def test_ctfidf_constants_join_is_not_nested_loop(spark):
     plan = terms._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _terms_fixture(spark):
+    # two topics, distinct scores; 'running'/'quickly' carry verb/adverb
+    # suffixes for the POS heuristic
+    rows = [
+        (0, "solar", 9.0, 1), (0, "energy", 8.0, 2), (0, "panels", 7.0, 3),
+        (0, "running", 6.0, 4), (0, "grid", 5.0, 5),
+        (1, "neural", 9.0, 1), (1, "model", 8.0, 2), (1, "quickly", 7.0, 3),
+        (1, "train", 6.0, 4), (1, "grid", 5.0, 5),
+    ]
+    return spark.createDataFrame(
+        rows, "topic int, term string, score double, rank bigint")
+
+
+def test_mmr_first_pick_is_top_term_and_selection_is_deterministic(spark):
+    from deep_reason_spark.operators.topics import mmr_terms
+    tt = _terms_fixture(spark)
+    sel = {(r.topic, r.sel_rank): r.term
+           for r in mmr_terms(tt, n_select=3).collect()}
+    assert sel[(0, 1)] == "solar" and sel[(1, 1)] == "neural"
+    assert len(sel) == 6  # 3 picks per topic, no gaps
+    again = {(r.topic, r.sel_rank): r.term
+             for r in mmr_terms(tt, n_select=3).collect()}
+    assert sel == again
+
+
+def test_mmr_zero_diversity_reduces_to_rank_order(spark):
+    from deep_reason_spark.operators.topics import mmr_terms
+    tt = _terms_fixture(spark)
+    sel = {(r.topic, r.sel_rank): r.term
+           for r in mmr_terms(tt, n_select=4, diversity=0.0).collect()}
+    by_rank = {(r.topic, int(r.rank)): r.term
+               for r in tt.where("rank <= 4").collect()}
+    assert sel == by_rank
+
+
+def test_pos_aspect_drops_suffixed_terms(spark):
+    from deep_reason_spark.operators.topics import pos_terms
+    tt = _terms_fixture(spark)
+    sel = {}
+    for r in pos_terms(tt, name_terms=4).collect():
+        sel.setdefault(r.topic, []).append((r.sel_rank, r.term))
+    assert [t for _, t in sorted(sel[0])] == ["solar", "energy", "panels", "grid"]
+    assert [t for _, t in sorted(sel[1])] == ["neural", "model", "train", "grid"]
+
+
+def test_topic_aspects_shape(spark):
+    from deep_reason_spark.operators.topics import topic_aspects
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 1)],
+        "vec_id bigint, embedding array<float>, label int")
+    d = _docs(spark, [(0, "alpha beta"), (1, "alpha gamma"), (2, "delta beta")])
+    asg = assign_topics(e, seeded_centroids(e))
+    terms = ctfidf_terms(tokenize(d), asg, n_docs=3, n_topics=2, top_n=5)
+    rows = {r.topic: r for r in topic_aspects(asg, terms).collect()}
+    assert set(rows[0].asDict()) == {"topic", "count", "name",
+                                     "mmr_name", "pos_name"}
