@@ -457,3 +457,96 @@ from deep_reason_spark.queries_extra import EXTRA_QUERIES, extra_oracles  # noqa
 
 QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(extra_oracles())
+
+# ---------------------------------------------------------------------------
+# Explicit driver sweep order (VERDICT r3 task 1). The driver records only
+# a ~50-row PREFIX of queries() (r2 and r3 both cut at exactly 50), so:
+#   1. queries that are NEW or whose PLAN CHANGED this round go first
+#      (they have no driver evidence for the current code);
+#   2. queries whose newest driver-green row is oldest go next (the r2-only
+#      nine rotated to the front this round);
+#   3. multi-round-green, unchanged queries go last — if the sweep is
+#      capped, only rows with the deepest green history fall off the end.
+# Every registered query MUST appear here (enforced below + by
+# tests/test_oracle_parity.py::test_registry_consistency).
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORDER = [
+    # -- new / plan-changed in r4 --
+    "t9_topic_aspects",
+    "rag_ivf_retrieval",
+    "u3_planned_vector",          # rerouted through the IVF index in r4
+    # -- last driver-green in r2 (rotated forward, VERDICT r3 task 1) --
+    "p8_rename_reshape",
+    "t5_rolling_fingerprint",
+    "d6_embedding_neardup",
+    "v5_ivf_topk",
+    "v6_ivf_multiprobe",
+    "cy1_text2cypher_agg",
+    "cy2_text2cypher_distinct",
+    "g3_two_hop_paths",
+    "o1_relation_registry",
+    # -- first driver-green in r3 (one green row) --
+    "t6_tfidf",
+    "t7_topic_terms",
+    "t8_topic_info",
+    "c1_communities",
+    "c2_community_reports",
+    "ls1_local_search",
+    "ds1_drift_search",
+    "bs1_basic_search",
+    "qg1_question_gen",
+    # -- green r2 + r3 --
+    "rag_fulltext_lifecycle",
+    "aq1_answer_quality",
+    "g1_chain_sampling",
+    "j3_community_membership",
+    "a8_global_search",
+    "u2_undirected_dedup",
+    "s1_chunk_documents",
+    "w2_doc_context",
+    "p3_trigram_triples",
+    "kg_predicate_counts",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_guess",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d7_neardup_clusters",
+    "d3_minhash_signatures",
+    "d4_lsh_buckets",
+    "d5_simhash",
+    "s10_fulltext_topk",
+    "w5_budget_prefix",
+    "p7_dedup_keep_first",
+    "a10_description_merge",
+    "m1_binary_meta",
+    "v1_cosine_topk",
+    "v2_sign_buckets",
+    "v3_norms",
+    "v4_label_centroids",
+    # -- green r1 + r2 + r3 (deepest history; safe to fall off a capped
+    #    sweep) --
+    "a7_pricing_summary",
+    "j1_region_stats",
+    "w6_topk_orders",
+    "w2_event_context",
+    "w3_cumsum_batches",
+    "j2_reverse_fallback",
+    "a9_degree_metrics",
+    "a11_salted_hot_agg",
+    "g5_connected_components",
+    "j6_two_hop_match",
+    "u4_anti_join_resume",
+    "u1_union_dedup",
+]
+
+_unlisted = sorted(set(QUERIES) - set(_SWEEP_ORDER))
+_unknown = sorted(set(_SWEEP_ORDER) - set(QUERIES))
+if _unlisted or _unknown:
+    raise RuntimeError(
+        f"sweep order out of sync: unlisted={_unlisted} unknown={_unknown} "
+        "— every new query must be placed in _SWEEP_ORDER consciously "
+        "(new/changed queries go FIRST)")
+QUERIES = {k: QUERIES[k] for k in _SWEEP_ORDER}
+ORACLES = {k: ORACLES[k] for k in _SWEEP_ORDER if k in ORACLES}

@@ -4,6 +4,8 @@ sorted by all columns, values equal) at sf0.001."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -11,6 +13,7 @@ from deep_reason_spark.oracle_check import run_parity
 from deep_reason_spark.queries import ORACLES, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
+SF01_DIR = "/root/testdata/sf0.01"
 
 
 def test_registry_consistency():
@@ -18,6 +21,10 @@ def test_registry_consistency():
     assert len(QUERIES) >= 30
     assert entrymod.queries().keys() == QUERIES.keys()
     assert entrymod.oracle_sql().keys() == ORACLES.keys()
+    # the dict order IS the driver sweep order — new/changed queries must
+    # lead (driver records only a ~50-row prefix; VERDICT r3 task 1)
+    assert list(QUERIES)[:3] == ["t9_topic_aspects", "rag_ivf_retrieval",
+                                 "u3_planned_vector"]
 
 
 def test_entry_smoke(spark):
@@ -33,6 +40,22 @@ def test_query_matches_oracle(spark, name):
     if name not in ORACLES:
         # oracle-less queries get an explicit rows-only marker, never a
         # silent pass (ADVICE r1: the old branch was unconditionally true)
+        assert res[name] and res[name][0].startswith("no oracle"), res[name]
+    else:
+        assert res[name] == [], f"{name}: {res[name][:3]}"
+
+
+# The CLAUDE.md contract's SECOND scale. Opt-in (SPARK_GRAFT_PARITY_SF01=1)
+# because it adds ~10 min to every pytest run; the committed
+# scripts/parity_sweep.py runs the same gate for all queries in driver
+# sweep order and records the artifact (VERDICT r3 task 3).
+@pytest.mark.skipif(not os.environ.get("SPARK_GRAFT_PARITY_SF01"),
+                    reason="sf0.01 parity leg: set SPARK_GRAFT_PARITY_SF01=1 "
+                           "or run scripts/parity_sweep.py")
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_sf01(spark, name):
+    res = run_parity(spark, SF01_DIR, [name])
+    if name not in ORACLES:
         assert res[name] and res[name][0].startswith("no oracle"), res[name]
     else:
         assert res[name] == [], f"{name}: {res[name][:3]}"
