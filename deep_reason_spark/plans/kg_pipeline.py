@@ -326,38 +326,59 @@ def run_graph_stage(
         F.col("source").alias("subject_id"), F.col("target").alias("object_id"),
         F.col("description").alias("predicate"),
     )
-    onodes, orels, oconns = build_ontology(edge_pairs, ctypes)
-    orels = orels.localCheckpoint()  # tiny; referenced by connections + kg
-    _lap("ontology")
 
-    nodes = build_nodes_from_edges(
-        edge_agg, titles, entity_types=canonical_types).localCheckpoint()
-    _lap("nodes")
+    # The ontology and nodes builds both depend only on the checkpointed
+    # edge_agg/titles/ctypes, like the community thread — their eager
+    # checkpoint jobs run CONCURRENTLY in their own FAIR pools instead of
+    # back-to-back on the main thread (r4 scaling: the serialized builds
+    # were pure stage latency that does not shrink with cores, dragging
+    # the full-pipeline N→4N efficiency)
+    def _build_ontology_cp():
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ontology")
+        onodes_, orels_, oconns_ = build_ontology(edge_pairs, ctypes)
+        return onodes_, orels_.localCheckpoint(), oconns_
 
-    # the community thread joins inside the concurrent write pool below
-    # (its two writes block on it; the other eight proceed), so the lap
-    # here records only main-thread time — the CC rides entirely under the
-    # ontology/nodes/writes laps
+    def _build_nodes_cp():
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "nodes")
+        return build_nodes_from_edges(
+            edge_agg, titles, entity_types=canonical_types).localCheckpoint()
+
+    build_pool = ThreadPoolExecutor(max_workers=2)
+    fut_onto = build_pool.submit(_build_ontology_cp)
+    fut_nodes = build_pool.submit(_build_nodes_cp)
+    # builds are NOT joined here: the write closures below resolve the
+    # futures they need, so the independent writes (mapping, edges,
+    # communities) start immediately and the ontology/nodes checkpoint
+    # jobs ride UNDER the write wave instead of in front of it (r4
+    # scaling: ~6 s of pre-write build latency at the 4N leg was pure
+    # serial fraction). The lap therefore records only submission time.
+    _lap("builds")
     _lap("communities")
+
     # kg_nodes is a projection of the nodes table (no corpus rescan)
-    kg_nodes = nodes.select(
-        F.col("id").alias("node_id"), F.col("title").alias("entity_name"),
-        F.concat(F.lit("class:"), F.col("type")).alias("ontology_node_id"),
-    )
-    kg_triplets = (
-        attach_types(edge_pairs, ctypes)
-        .join(F.broadcast(orels), F.col("predicate") == F.col("relation_name"))
-        .select(
-            F.col("subject_id").alias("kg_subject_id"),
-            F.col("object_id").alias("kg_object_id"),
-            F.concat_ws(
-                "|", F.concat(F.lit("class:"), F.col("subject_type")),
-                F.col("relation_id").cast("string"),
-                F.concat(F.lit("class:"), F.col("object_type")),
-            ).alias("ontology_nodes_connection_id"),
+    def _kg_nodes() -> DataFrame:
+        return fut_nodes.result().select(
+            F.col("id").alias("node_id"), F.col("title").alias("entity_name"),
+            F.concat(F.lit("class:"), F.col("type")).alias("ontology_node_id"),
         )
-        .distinct()
-    )
+
+    def _kg_triplets() -> DataFrame:
+        orels = fut_onto.result()[1]
+        return (
+            attach_types(edge_pairs, ctypes)
+            .join(F.broadcast(orels),
+                  F.col("predicate") == F.col("relation_name"))
+            .select(
+                F.col("subject_id").alias("kg_subject_id"),
+                F.col("object_id").alias("kg_object_id"),
+                F.concat_ws(
+                    "|", F.concat(F.lit("class:"), F.col("subject_type")),
+                    F.col("relation_id").cast("string"),
+                    F.concat(F.lit("class:"), F.col("object_type")),
+                ).alias("ontology_nodes_connection_id"),
+            )
+            .distinct()
+        )
 
     # The 10 output tables are independent given their checkpointed inputs;
     # submitting the writes CONCURRENTLY overlaps their fixed job-scheduling
@@ -367,17 +388,25 @@ def run_graph_stage(
     def _write_plain(name: str, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
+    def _write_vocab(name: str, df: DataFrame) -> None:
+        # ontology classes/relations/connections are VOCABULARY-scale by
+        # construction — writing them through the full shuffle-partition
+        # fan-out costs `spark.sql.shuffle.partitions` near-empty tasks +
+        # files per table, pure commit latency at every scale (r4 scaling)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, name))
+
     jobs = [
-        lambda: _write_plain("ontology_nodes", onodes),
-        lambda: _write_plain("ontology_relations", orels),
-        lambda: _write_plain("ontology_connections", oconns),
-        lambda: _write_plain("kg_nodes", kg_nodes),
-        lambda: _write_plain("kg_triplets", kg_triplets),
+        lambda: _write_vocab("ontology_nodes", fut_onto.result()[0]),
+        lambda: _write_vocab("ontology_relations", fut_onto.result()[1]),
+        lambda: _write_vocab("ontology_connections", fut_onto.result()[2]),
+        lambda: _write_plain("kg_nodes", _kg_nodes()),
+        lambda: _write_plain("kg_triplets", _kg_triplets()),
         lambda: _write_plain("communities", _comm_tables()[0]),
         lambda: _write_plain("community_reports", _comm_tables()[1]),
         lambda: _write_plain(MAPPING_DIR, mapping),
         lambda: write_partitioned(
-            nodes.withColumn(
+            fut_nodes.result().withColumn(
                 "bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
             os.path.join(out_dir, NODES_DIR),
         ),
@@ -387,9 +416,12 @@ def run_graph_stage(
             os.path.join(out_dir, EDGES_DIR),
         ),
     ]
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        for fut in [pool.submit(j) for j in jobs]:
-            fut.result()
+    try:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            for fut in [pool.submit(j) for j in jobs]:
+                fut.result()
+    finally:
+        build_pool.shutdown(wait=False)
     _lap("writes")
     metrics.wall_ms["graph"] = int((time.monotonic() - t0) * 1000)
 
@@ -415,7 +447,18 @@ def run_kg_pipeline(
     triples = run_triples_stage(
         spark, repo_files, out_dir, n_buckets=n_buckets, resume=resume, metrics=metrics
     )
-    metrics.triples_out = triples.count()
+    # triple count from the ledger the stage just committed (it already
+    # counted what it wrote) — a count() here would re-scan the whole
+    # triples table serially between the stages (r4 scaling)
+    try:
+        row = (
+            CheckpointLedger(spark, out_dir).read()
+            .where(F.col("stage") == "triples")
+            .agg(F.sum("rows_out").alias("n")).first()
+        )
+        metrics.triples_out = int(row["n"] or 0)
+    except Exception:  # no ledger (empty input) → cheap exact fallback
+        metrics.triples_out = triples.count()
     run_graph_stage(spark, triples, alias_dict, out_dir, salt=salt,
                     metrics=metrics, entity_types=entity_types)
     return metrics
