@@ -475,6 +475,8 @@ _SWEEP_ORDER = [
     # -- new / plan-changed in r4 --
     "t9_topic_aspects",
     "rag_ivf_retrieval",
+    "e1_apply_edits",
+    "e2_edit_metrics",
     "u3_planned_vector",          # rerouted through the IVF index in r4
     # -- last driver-green in r2 (rotated forward, VERDICT r3 task 1) --
     "p8_rename_reshape",

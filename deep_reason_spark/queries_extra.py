@@ -445,6 +445,125 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# E1/E2 — KG-side knowledge-edit execution + evaluation. The reference's
+# editor applies (subject, relation, target_new) edits to MODEL WEIGHTS
+# (knowledge_editing/easy_edit/knowledge_editor.py — EasyEdit); the data-
+# engine analogue rewrites/inserts the same edit records against the
+# materialized edges table and reports the EasyEdit metric shapes
+# (rewrite_acc / locality on 0-1 scales). Fixture: the TPC-H-derived
+# nation -[in_region]-> region graph; rewrites for n_nationkey % 5 == 0,
+# inserts (new 'sponsors' relation) for % 7 == 0.
+# ---------------------------------------------------------------------------
+
+def _edit_fixture(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    nid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    edges = n.select(
+        nid.alias("source"), F.lit("in_region").alias("description"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("target"),
+    )
+    rewrites = n.where(F.col("n_nationkey") % 5 == 0).select(
+        nid.alias("source"), F.lit("in_region").alias("description"),
+        F.lit("r0").alias("target"))
+    inserts = n.where(F.col("n_nationkey") % 7 == 0).select(
+        nid.alias("source"), F.lit("sponsors").alias("description"),
+        F.lit("r4").alias("target"))
+    return edges, rewrites.unionByName(inserts)
+
+
+_SQL_EDIT_BASE = """
+edges AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS source,
+         'in_region' AS description,
+         'r' || CAST(n_regionkey AS VARCHAR) AS target
+  FROM nation
+),
+edits AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS source,
+         'in_region' AS description, 'r0' AS target
+  FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'sponsors', 'r4'
+  FROM nation WHERE n_nationkey % 7 = 0
+),
+e AS (
+  SELECT source, description, MIN(target) AS new_target
+  FROM edits GROUP BY source, description
+),
+updated AS (
+  SELECT g.source, g.description,
+         COALESCE(e.new_target, g.target) AS target,
+         CASE WHEN e.new_target IS NOT NULL THEN 'rewritten'
+              ELSE 'kept' END AS edit_status
+  FROM edges g LEFT JOIN e ON e.source = g.source
+                          AND e.description = g.description
+),
+ins AS (
+  SELECT e.source, e.description, e.new_target AS target,
+         'inserted' AS edit_status
+  FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM edges g
+                    WHERE g.source = e.source
+                      AND g.description = e.description)
+)"""
+
+
+def q_e1_apply_edits(spark, sf_dir):
+    from deep_reason_spark.operators.editing import apply_edits
+    edges, edits = _edit_fixture(spark, sf_dir)
+    return apply_edits(edges, edits).select(
+        "source", "description", "target", "edit_status")
+
+
+ORACLE_E1 = f"""
+WITH {_SQL_EDIT_BASE}
+SELECT source, description, target, edit_status FROM updated
+UNION ALL
+SELECT source, description, target, edit_status FROM ins
+"""
+
+
+def q_e2_edit_metrics(spark, sf_dir):
+    from deep_reason_spark.operators.editing import apply_edits, edit_metrics
+    edges, edits = _edit_fixture(spark, sf_dir)
+    return edit_metrics(apply_edits(edges, edits), edges, edits)
+
+
+ORACLE_E2 = f"""
+WITH {_SQL_EDIT_BASE},
+edited AS (
+  SELECT source, description, target FROM updated
+  UNION ALL
+  SELECT source, description, target FROM ins
+),
+hit AS (
+  SELECT e.* FROM e
+  WHERE EXISTS (SELECT 1 FROM edited d
+                WHERE d.source = e.source AND d.description = e.description
+                  AND d.target = e.new_target)
+),
+non AS (
+  SELECT g.* FROM edges g
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE e.source = g.source
+                      AND e.description = g.description)
+),
+ok AS (
+  SELECT n.* FROM non n
+  WHERE EXISTS (SELECT 1 FROM edited d
+                WHERE d.source = n.source AND d.description = n.description
+                  AND d.target = n.target)
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edits,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM e), 4) AS rewrite_acc,
+       CAST((SELECT COUNT(*) FROM non) AS BIGINT) AS n_non_edited,
+       ROUND(CAST((SELECT COUNT(*) FROM ok) AS DOUBLE)
+             / (SELECT COUNT(*) FROM non), 4) AS locality_acc
+"""
+
+
+# ---------------------------------------------------------------------------
 # J3 — community membership map join: communities carry entity_ids arrays;
 # explode membership and decorate with per-entity stats
 # (gen_agent/sampling.py:366-399)
@@ -834,6 +953,8 @@ FROM comp
 
 EXTRA_QUERIES = {
     "rag_ivf_retrieval": q_rag_ivf_retrieval,
+    "e1_apply_edits": q_e1_apply_edits,
+    "e2_edit_metrics": q_e2_edit_metrics,
     "rag_fulltext_lifecycle": q_rag_fulltext_lifecycle,
     "u3_planned_vector": q_u3_planned_vector,
     "aq1_answer_quality": q_aq1_answer_quality,
@@ -856,6 +977,8 @@ EXTRA_QUERIES = {
 def extra_oracles() -> dict[str, str]:
     return {
         "rag_ivf_retrieval": _oracle_rag_ivf(),
+        "e1_apply_edits": ORACLE_E1,
+        "e2_edit_metrics": ORACLE_E2,
         "rag_fulltext_lifecycle": _oracle_rag(),
         "u3_planned_vector": _oracle_u3(),
         "aq1_answer_quality": ORACLE_AQ1,

@@ -72,3 +72,40 @@ def test_null_prompt_rows_are_kept(spark):
     rows = convert_to_editing_dataset(df).collect()
     assert len(rows) == 2
     assert {r.subject for r in rows} == {"some subject", None}
+
+
+def test_apply_edits_rewrite_insert_keep(spark):
+    from deep_reason_spark.operators.editing import apply_edits
+    edges = spark.createDataFrame(
+        [("a", "likes", "x", 3), ("b", "likes", "y", 1), ("c", "knows", "z", 2)],
+        "source string, description string, target string, weight int")
+    edits = spark.createDataFrame(
+        [("a", "likes", "x2"),        # rewrite
+         ("d", "likes", "w"),         # insert (no such edge)
+         ("a", "likes", "x1")],       # conflict: min target wins -> x1
+        "source string, description string, target string")
+    out = {(r.source, r.description): (r.target, r.edit_status, r.weight)
+           for r in apply_edits(edges, edits).collect()}
+    assert out[("a", "likes")] == ("x1", "rewritten", 3)   # extras survive
+    assert out[("b", "likes")] == ("y", "kept", 1)
+    assert out[("c", "knows")] == ("z", "kept", 2)
+    assert out[("d", "likes")] == ("w", "inserted", None)
+
+
+def test_edit_metrics_rewrite_and_locality(spark):
+    from deep_reason_spark.operators.editing import apply_edits, edit_metrics
+    edges = spark.createDataFrame(
+        [("a", "r", "x"), ("b", "r", "y"), ("c", "r", "z")],
+        "source string, description string, target string")
+    edits = spark.createDataFrame(
+        [("a", "r", "x2"), ("d", "r", "w")],
+        "source string, description string, target string")
+    edited = apply_edits(edges, edges.limit(0).unionByName(edits))
+    row = edit_metrics(edited, edges, edits).collect()[0]
+    assert row.n_edits == 2 and row.rewrite_acc == 1.0
+    assert row.n_non_edited == 2 and row.locality_acc == 1.0
+    # a broken editor (drops an untouched edge) must show locality < 1
+    from pyspark.sql import functions as F
+    broken = edited.where(F.col("source") != "b")
+    row2 = edit_metrics(broken, edges, edits).collect()[0]
+    assert row2.locality_acc == 0.5

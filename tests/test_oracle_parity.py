@@ -23,7 +23,8 @@ def test_registry_consistency():
     assert entrymod.oracle_sql().keys() == ORACLES.keys()
     # the dict order IS the driver sweep order — new/changed queries must
     # lead (driver records only a ~50-row prefix; VERDICT r3 task 1)
-    assert list(QUERIES)[:3] == ["t9_topic_aspects", "rag_ivf_retrieval",
+    assert list(QUERIES)[:5] == ["t9_topic_aspects", "rag_ivf_retrieval",
+                                 "e1_apply_edits", "e2_edit_metrics",
                                  "u3_planned_vector"]
 
 
