@@ -477,6 +477,7 @@ _SWEEP_ORDER = [
     "rag_ivf_retrieval",
     "e1_apply_edits",
     "e2_edit_metrics",
+    "ga1_chain_relationships",
     "u3_planned_vector",          # rerouted through the IVF index in r4
     # -- last driver-green in r2 (rotated forward, VERDICT r3 task 1) --
     "p8_rename_reshape",

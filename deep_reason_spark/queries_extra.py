@@ -755,6 +755,77 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# GA1 — gen_agent enrichment lifecycle (SURVEY.md §3.3, gen_agent/
+# agent.py:342-504): sample chains from the graph (G1 frontier walk), then
+# look up each CONSECUTIVE pair against the directed relationship table
+# with the reference's reverse-direction fallback (J2,
+# gen_agent/sampling.py:225-335) — the exact rows its inference prompt is
+# built from. Fully oracled: the walk replays via the md5 rank (ORACLE_G1)
+# and the pair lookup is two LEFT joins.
+# ---------------------------------------------------------------------------
+
+def q_ga1_chain_relationships(spark, sf_dir):
+    from deep_reason_spark.operators.sampling import sample_chains
+    n = load(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0"))
+        .alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    chains = sample_chains(edges, chain_length=3, n_chains=10, seed=_G1_SEED,
+                           reject_connected_endpoints=True,
+                           frontier_cap=_G1_CAP)
+    pairs = chains.select(
+        F.array_join("chain", "->").alias("chain"),
+        F.expr("explode(sequence(1, size(chain) - 1))").alias("pos"),
+        F.col("chain").alias("_c"),
+    ).select(
+        "chain", "pos",
+        F.element_at("_c", F.col("pos")).alias("a"),
+        F.element_at("_c", F.col("pos") + 1).alias("b"),
+    )
+    e = edges.distinct()
+    fwd = e.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                   F.lit(1).alias("_f"))
+    rev = e.select(F.col("dst").alias("a"), F.col("src").alias("b"),
+                   F.lit(1).alias("_r"))
+    return (
+        pairs.join(fwd, ["a", "b"], "left").join(rev, ["a", "b"], "left")
+        .select(
+            "chain", "pos", "a", "b",
+            F.when(F.col("_f").isNotNull(), F.lit("forward"))
+            .when(F.col("_r").isNotNull(), F.lit("reversed"))
+            .otherwise(F.lit("missing")).alias("direction"),
+        )
+    )
+
+
+def _oracle_ga1() -> str:
+    return f"""
+WITH g1 AS (SELECT chain FROM ({ORACLE_G1})),
+arr AS (SELECT chain, string_split(chain, '->') AS nodes FROM g1),
+pairs AS (
+  SELECT chain, CAST(i AS INT) AS pos,
+         nodes[CAST(i AS INT)] AS a, nodes[CAST(i AS INT) + 1] AS b
+  FROM arr, UNNEST(range(1, len(nodes))) AS t(i)
+),
+de AS (
+  SELECT DISTINCT
+         'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS src,
+         'r' || CAST(n_regionkey AS VARCHAR) AS dst
+  FROM nation
+)
+SELECT p.chain, p.pos, p.a, p.b,
+       CASE WHEN f.src IS NOT NULL THEN 'forward'
+            WHEN r.src IS NOT NULL THEN 'reversed'
+            ELSE 'missing' END AS direction
+FROM pairs p
+LEFT JOIN de f ON f.src = p.a AND f.dst = p.b
+LEFT JOIN de r ON r.dst = p.a AND r.src = p.b
+"""
+
+
+# ---------------------------------------------------------------------------
 # U3 — multi-query planner + IVF vector retrieval + content dedup
 # (rag/pipeline.py:275-334: planned = {question} ∪ sub-queries, retrieve
 # top-k per planned query THROUGH the multi-probe IVF index, union, dedup
@@ -955,6 +1026,7 @@ EXTRA_QUERIES = {
     "rag_ivf_retrieval": q_rag_ivf_retrieval,
     "e1_apply_edits": q_e1_apply_edits,
     "e2_edit_metrics": q_e2_edit_metrics,
+    "ga1_chain_relationships": q_ga1_chain_relationships,
     "rag_fulltext_lifecycle": q_rag_fulltext_lifecycle,
     "u3_planned_vector": q_u3_planned_vector,
     "aq1_answer_quality": q_aq1_answer_quality,
@@ -979,6 +1051,7 @@ def extra_oracles() -> dict[str, str]:
         "rag_ivf_retrieval": _oracle_rag_ivf(),
         "e1_apply_edits": ORACLE_E1,
         "e2_edit_metrics": ORACLE_E2,
+        "ga1_chain_relationships": _oracle_ga1(),
         "rag_fulltext_lifecycle": _oracle_rag(),
         "u3_planned_vector": _oracle_u3(),
         "aq1_answer_quality": ORACLE_AQ1,

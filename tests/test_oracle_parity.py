@@ -25,7 +25,7 @@ def test_registry_consistency():
     # lead (driver records only a ~50-row prefix; VERDICT r3 task 1)
     assert list(QUERIES)[:5] == ["t9_topic_aspects", "rag_ivf_retrieval",
                                  "e1_apply_edits", "e2_edit_metrics",
-                                 "u3_planned_vector"]
+                                 "ga1_chain_relationships"]
 
 
 def test_entry_smoke(spark):

@@ -125,3 +125,15 @@ def test_graph_search_queries_have_no_nested_loop_or_cartesian(spark):
         plan = _plan(QUERIES[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_r4_queries_have_no_nested_loop_or_cartesian(spark):
+    """r4 additions join the same scale audit: the IVF retrieval path, the
+    edit executor, and the multi-aspect topics (incl. its ScalarSubquery
+    constants) must plan as equi-joins + windows only."""
+    for name in ["t9_topic_aspects", "rag_ivf_retrieval", "e1_apply_edits",
+                 "e2_edit_metrics", "ga1_chain_relationships",
+                 "u3_planned_vector"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
