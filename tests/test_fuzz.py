@@ -91,3 +91,34 @@ def test_answer_quality_bounds_on_nasty_strings(spark):
         assert 0.0 <= r.score <= 10.0
         for c in ("consistency", "similarity", "completeness"):
             assert 0.0 <= r[c] <= 1.0
+
+
+def test_apply_edits_invariants_on_random_graphs(spark):
+    """Property: for ANY edge set and ANY edit set, the edit executor
+    reports rewrite_acc == 1.0 and locality_acc == 1.0 (every edit lands;
+    every untouched edge survives byte-identical), and emits exactly one
+    row per (source, predicate) union key."""
+    from deep_reason_spark.operators.editing import apply_edits, edit_metrics
+
+    rng = random.Random(7)
+    nodes = [f"v{i}" for i in range(30)]
+    rels = ["likes", "knows", "cites"]
+    edge_rows = list({(rng.choice(nodes), rng.choice(rels), rng.choice(nodes))
+                      for _ in range(120)})
+    edit_rows = [(rng.choice(nodes), rng.choice(rels), rng.choice(nodes))
+                 for _ in range(40)]  # duplicates + conflicts on purpose
+    edges = spark.createDataFrame(
+        edge_rows, "source string, description string, target string")
+    edits = spark.createDataFrame(
+        edit_rows, "source string, description string, target string")
+    edited = apply_edits(edges, edits).localCheckpoint()
+
+    m = edit_metrics(edited, edges, edits).collect()[0]
+    assert m.rewrite_acc == 1.0
+    assert m.locality_acc == 1.0
+    # one output row per (source, predicate, target)-key of the union:
+    # kept/rewritten rows keep edge multiplicity per key; inserted add new
+    n_keys = (edges.select("source", "description")
+              .union(edits.select("source", "description"))
+              .distinct().count())
+    assert edited.select("source", "description").distinct().count() == n_keys
