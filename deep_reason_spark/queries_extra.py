@@ -425,11 +425,25 @@ FROM nation a JOIN nation b
 def q_o1_relation_registry(spark, sf_dir):
     from deep_reason_spark.queries_text import q_p3_trigram_triples
     t = q_p3_trigram_triples(spark, sf_dir)
-    w = Window.orderBy("relation_name")
+    d = t.select(F.col("predicate").alias("relation_name")).distinct()
+    # dense ids WITHOUT a single-partition global window (r3 review flag):
+    # rank within first-character buckets (parallel bounded windows), then
+    # add per-bucket offsets. Sorting by (first char, name) within buckets
+    # IS global lexicographic order, so the ids equal a global ROW_NUMBER.
+    # The offsets window runs over the bucket-count table — bounded by the
+    # alphabet, never by the relation vocabulary.
+    b = d.withColumn("_b", F.substring("relation_name", 1, 1))
+    wb = Window.partitionBy("_b").orderBy("relation_name")
+    local = b.withColumn("_lr", F.row_number().over(wb))
+    counts = local.groupBy("_b").agg(F.count("*").alias("_n"))
+    wo = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
     return (
-        t.select(F.col("predicate").alias("relation_name")).distinct()
-        .withColumn("relation_id", F.row_number().over(w).cast("int"))
-        .select("relation_id", "relation_name")
+        local.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+        .select((F.col("_off") + F.col("_lr")).cast("int").alias("relation_id"),
+                "relation_name")
     )
 
 
