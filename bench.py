@@ -225,20 +225,35 @@ def run_scaling(mode: str = "--triples-only") -> dict:
         generate_repo_files(spark, SCALE_FILES, partitions=256).write.parquet(corpus_dir)
         spark.stop()
 
-        results = {}
-        for cpus in (str(SCALE_N), str(4 * SCALE_N)):
-            # best of 2: this host's wall-clock noise is ±15-20%, and the
-            # minimum is the least-contended estimate of the job's true cost
-            runs = []
-            for _ in range(2):
-                out = subprocess.run(
-                    [sys.executable, __file__, mode, corpus_dir],
-                    env={**os.environ, "SPARK_GRAFT_CPUS": cpus},
-                    capture_output=True, text=True, check=True,
-                )
-                runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
-            results[cpus] = max(runs, key=lambda r: r["triples_per_sec"])
-        lo, hi = results[str(SCALE_N)], results[str(4 * SCALE_N)]
+        # INTERLEAVED leg order (N, 4N, N, 4N): this host has external-
+        # contention windows that can shift MID-MEASUREMENT (observed: a
+        # same-code A/A/B/B run scored 0.65 because both high legs landed
+        # in a contended window while both low legs ran quiet — graph
+        # stage identical, extraction uniformly +45%). Adjacent (N, 4N)
+        # pairs share a window, so the per-pair efficiencies bound the
+        # window drift, and best-of-2 per leg still estimates the
+        # least-contended job cost.
+        runs: dict[str, list] = {str(SCALE_N): [], str(4 * SCALE_N): []}
+        for cpus in (str(SCALE_N), str(4 * SCALE_N)) * 2:
+            out = subprocess.run(
+                [sys.executable, __file__, mode, corpus_dir],
+                env={**os.environ, "SPARK_GRAFT_CPUS": cpus},
+                capture_output=True, text=True, check=True,
+            )
+            runs[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        lo_runs, hi_runs = runs[str(SCALE_N)], runs[str(4 * SCALE_N)]
+        pair_effs = [
+            round(h["triples_per_sec"] / l["triples_per_sec"] / 4.0, 3)
+            for l, h in zip(lo_runs, hi_runs)
+        ]
+        # headline = the SAME-WINDOW pair anchored on the least-contended
+        # LOW leg: a contended low leg INFLATES efficiency (measured: a
+        # slow low leg + clean high leg produced a bogus 1.0), so picking
+        # the fastest low leg is the conservative same-window estimate;
+        # mixing best legs across pairs is invalid under window drift
+        best_i = max(range(len(lo_runs)),
+                     key=lambda i: lo_runs[i]["triples_per_sec"])
+        lo, hi = lo_runs[best_i], hi_runs[best_i]
         label = ("extraction-stage" if mode == "--triples-only"
                  else "full-pipeline")
         return {
@@ -250,6 +265,7 @@ def run_scaling(mode: str = "--triples-only") -> dict:
             "scaling_efficiency": round(
                 hi["triples_per_sec"] / lo["triples_per_sec"] / 4.0, 3
             ),
+            "pair_efficiencies": pair_effs,
             "loadavg_before": [round(x, 2) for x in LOAD_BEFORE],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         }
