@@ -11,6 +11,7 @@ corpus term frequencies), and the cosine top-k machinery (probe vectors).
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -28,6 +29,9 @@ BROADCAST_MAX_BYTES = 64 << 20
 # stale estimate.
 _ESTIMATE_CACHE: OrderedDict[int, int] = OrderedDict()
 _ESTIMATE_CACHE_MAX = 256
+_ESTIMATE_LOCK = threading.Lock()  # gates are called from the graph
+# stage's build/write/community threads concurrently (r4) — lookup,
+# counter bump and FIFO eviction must not race
 ESTIMATE_JOBS = 0  # diagnostic: agg jobs actually run (cache misses)
 
 
@@ -45,8 +49,10 @@ def estimate_bytes(df: DataFrame, use_cache: bool = True) -> int:
     partial-aggregated pass over an already-materialized frame, memoized
     per semantic plan (``use_cache=False`` forces a fresh job)."""
     key = _plan_key(df) if use_cache else None
-    if key is not None and key in _ESTIMATE_CACHE:
-        return _ESTIMATE_CACHE[key]
+    if key is not None:
+        with _ESTIMATE_LOCK:
+            if key in _ESTIMATE_CACHE:
+                return _ESTIMATE_CACHE[key]
     sizes = []
     for f_ in df.schema.fields:
         t = f_.dataType.simpleString()
@@ -78,11 +84,12 @@ def estimate_bytes(df: DataFrame, use_cache: bool = True) -> int:
     row = df.agg(F.sum(total.cast("bigint")).alias("b")).first()
     val = int(row["b"] or 0)
     global ESTIMATE_JOBS
-    ESTIMATE_JOBS += 1
-    if key is not None:
-        _ESTIMATE_CACHE[key] = val
-        while len(_ESTIMATE_CACHE) > _ESTIMATE_CACHE_MAX:
-            _ESTIMATE_CACHE.popitem(last=False)
+    with _ESTIMATE_LOCK:
+        ESTIMATE_JOBS += 1
+        if key is not None:
+            _ESTIMATE_CACHE[key] = val
+            while len(_ESTIMATE_CACHE) > _ESTIMATE_CACHE_MAX:
+                _ESTIMATE_CACHE.popitem(last=False)
     return val
 
 

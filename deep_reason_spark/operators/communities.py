@@ -62,8 +62,9 @@ def prune_edges(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
             .withColumn("weight", F.lit(1))
-            .where(F.lit(1) >= F.lit(min_weight))
         )
+        if min_weight > 1:  # every distinct pair weighs exactly 1
+            e = e.limit(0)
     else:
         e = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),

@@ -71,6 +71,18 @@ def convert_to_editing_dataset(results: DataFrame,
     )
 
 
+def _collapsed_edits(edits: DataFrame, src: str, pred: str,
+                     dst: str) -> DataFrame:
+    """THE conflict-resolution rule, in one place: one edit per (subject,
+    predicate) key, smallest target_new wins. apply_edits executes it and
+    edit_metrics evaluates against it — they must never diverge."""
+    return (
+        edits.select(F.col(src).alias("_es"), F.col(pred).alias("_ep"),
+                     F.col(dst).alias("_en"))
+        .groupBy("_es", "_ep").agg(F.min("_en").alias("_en"))
+    )
+
+
 def apply_edits(
     edges: DataFrame,
     edits: DataFrame,
@@ -99,12 +111,8 @@ def apply_edits(
     and are NULL on inserted rows."""
     from deep_reason_spark.functions.broadcast import broadcast_if_small
 
-    e = (
-        edits.select(F.col(src).alias("_es"), F.col(pred).alias("_ep"),
-                     F.col(dst).alias("_en"))
-        .groupBy("_es", "_ep").agg(F.min("_en").alias("_en"))
-        .localCheckpoint()  # query-scale; feeds the gate + both joins once
-    )
+    # query-scale; pinned so it feeds the gate + both joins once
+    e = _collapsed_edits(edits, src, pred, dst).localCheckpoint()
     joined = edges.join(
         broadcast_if_small(e),
         (F.col(src) == F.col("_es")) & (F.col(pred) == F.col("_ep")),
@@ -149,11 +157,7 @@ def edit_metrics(
       assumed).
 
     Both computed distributed; rounded to 4 (parity rules)."""
-    ekeys = (
-        edits.select(F.col(src).alias("_es"), F.col(pred).alias("_ep"),
-                     F.col(dst).alias("_en"))
-        .groupBy("_es", "_ep").agg(F.min("_en").alias("_en"))
-    )
+    ekeys = _collapsed_edits(edits, src, pred, dst)
     hit = ekeys.join(
         edited.select(F.col(src).alias("_es"), F.col(pred).alias("_ep"),
                       F.col(dst).alias("_en")).distinct(),

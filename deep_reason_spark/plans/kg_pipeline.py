@@ -449,12 +449,18 @@ def run_kg_pipeline(
     )
     # triple count from the ledger the stage just committed (it already
     # counted what it wrote) — a count() here would re-scan the whole
-    # triples table serially between the stages (r4 scaling)
+    # triples table serially between the stages (r4 scaling). The ledger
+    # is APPEND-ONLY: a bucket re-committed by a later run (resume=False
+    # re-runs into the same out_dir) has multiple rows while the dynamic
+    # partition overwrite keeps only the newest data — sum the LATEST row
+    # per bucket, never all rows (r4 review finding).
     try:
         row = (
             CheckpointLedger(spark, out_dir).read()
             .where(F.col("stage") == "triples")
-            .agg(F.sum("rows_out").alias("n")).first()
+            .groupBy("bucket")
+            .agg(F.max_by("rows_out", "committed_at").alias("rows_latest"))
+            .agg(F.sum("rows_latest").alias("n")).first()
         )
         metrics.triples_out = int(row["n"] or 0)
     except Exception:  # no ledger (empty input) → cheap exact fallback

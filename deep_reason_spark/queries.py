@@ -544,12 +544,13 @@ _SWEEP_ORDER = [
     "u1_union_dedup",
 ]
 
-_unlisted = sorted(set(QUERIES) - set(_SWEEP_ORDER))
-_unknown = sorted(set(_SWEEP_ORDER) - set(QUERIES))
-if _unlisted or _unknown:
-    raise RuntimeError(
-        f"sweep order out of sync: unlisted={_unlisted} unknown={_unknown} "
-        "— every new query must be placed in _SWEEP_ORDER consciously "
-        "(new/changed queries go FIRST)")
-QUERIES = {k: QUERIES[k] for k in _SWEEP_ORDER}
-ORACLES = {k: ORACLES[k] for k in _SWEEP_ORDER if k in ORACLES}
+# A query registered but not yet placed in _SWEEP_ORDER is auto-PREPENDED
+# (new queries first is exactly the desired policy) — never an import-time
+# error: this module is the grading driver's entry point, and raising here
+# would turn a bookkeeping slip into zero recorded queries (r4 review
+# finding). test_registry_consistency still fails loudly on the slip so it
+# gets placed consciously before round end.
+SWEEP_UNLISTED = sorted(set(QUERIES) - set(_SWEEP_ORDER))
+_effective_order = SWEEP_UNLISTED + [k for k in _SWEEP_ORDER if k in QUERIES]
+QUERIES = {k: QUERIES[k] for k in _effective_order}
+ORACLES = {k: ORACLES[k] for k in _effective_order if k in ORACLES}

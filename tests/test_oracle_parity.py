@@ -26,6 +26,11 @@ def test_registry_consistency():
     assert list(QUERIES)[:5] == ["t9_topic_aspects", "rag_ivf_retrieval",
                                  "e1_apply_edits", "e2_edit_metrics",
                                  "ga1_chain_relationships"]
+    # every query must be CONSCIOUSLY placed: unlisted ones are auto-
+    # prepended (import never fails — driver safety) but flagged here
+    from deep_reason_spark.queries import SWEEP_UNLISTED
+    assert SWEEP_UNLISTED == [], (
+        f"place {SWEEP_UNLISTED} in _SWEEP_ORDER (new queries go FIRST)")
 
 
 def test_entry_smoke(spark):

@@ -180,3 +180,15 @@ def test_estimate_bytes_memoized_per_plan(spark):
     assert after == mid        # second call is a cache hit
     assert bc.estimate_bytes(b, use_cache=False) == eb  # forced fresh job
     assert bc.ESTIMATE_JOBS == after + 1
+
+
+def test_triples_out_counts_latest_commit_only(spark, out_dir):
+    """r4 review: the ledger is append-only — a resume=False re-run into
+    the same out_dir re-commits every bucket, and the metric must sum the
+    LATEST row per bucket, not double-count."""
+    rf = generate_repo_files(spark, 40).cache()
+    m1 = run_kg_pipeline(spark, rf, alias_dict_df(spark), out_dir, n_buckets=4)
+    m2 = run_kg_pipeline(spark, rf, alias_dict_df(spark), out_dir,
+                         n_buckets=4, resume=False)
+    assert m1.triples_out > 0
+    assert m2.triples_out == m1.triples_out

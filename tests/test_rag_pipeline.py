@@ -202,3 +202,28 @@ def test_vector_branches_never_scan_corpus_per_query(spark, docs, emb):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_index_works_without_label_column(spark, emb):
+    """r4 review: production embeddings carry no supervised `label` —
+    the index must build from (vec_id, embedding) alone (deterministic
+    hash seeding), and exhaustive probing must still equal brute force."""
+    from deep_reason_spark.plans.rag_pipeline import (
+        IVF_DEFAULT_CELLS,
+        build_ivf_index,
+        vector_branch,
+        vector_branch_exact,
+    )
+    bare = emb.select("vec_id", "embedding")
+    ivf = build_ivf_index(bare)
+    qs = bare.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("question_vec"),
+    )
+    ivf_all = {(r.question_id, r.doc_id)
+               for r in vector_branch(qs, bare, top_k=3, ivf=ivf,
+                                      nprobe=IVF_DEFAULT_CELLS).collect()}
+    exact = {(r.question_id, r.doc_id)
+             for r in vector_branch_exact(qs, bare, top_k=3).collect()}
+    assert ivf_all == exact
