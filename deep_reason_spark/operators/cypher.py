@@ -133,12 +133,15 @@ def run_cypher(
     if needed_props and nodes is None:
         raise CypherError("query references node properties but no nodes "
                           "table was provided")
+    # gated, not bare: `nodes` is the entity-scale nodes table — broadcast
+    # only while it estimates small, else AQE plans the property join
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
     for var, prop in sorted(needed_props):
         if prop not in (nodes.columns if nodes is not None else []):
             raise CypherError(f"unknown node property {prop!r}")
         side = nodes.select(F.col("id").alias(var),
                             F.col(prop).alias(f"__{var}_{prop}"))
-        df = df.join(F.broadcast(side), var, "left")
+        df = df.join(broadcast_if_small(side), var, "left")
 
     def _prop_col(var: str, prop: str):
         return F.col(var) if prop == "id" else F.col(f"__{var}_{prop}")

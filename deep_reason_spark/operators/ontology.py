@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deep_reason_spark.functions.broadcast import broadcast_if_small
+
 
 # the dense relation numbering below is a single-task global sort — correct
 # ONLY while the distinct-predicate registry is vocabulary-scale. The bound
@@ -91,9 +93,17 @@ def build_ontology(
 
 
 def attach_types(linked_triples: DataFrame, entity_types: DataFrame) -> DataFrame:
-    """Add subject_type/object_type via broadcast of the (entity_id, type)
-    dictionary; unknown entities get class 'entity' (the reference's LLM
-    would invent a class; we use the stable default)."""
+    """Add subject_type/object_type via byte-gated broadcast of the
+    (entity_id, type) dictionary; unknown entities get class 'entity' (the
+    reference's LLM would invent a class; we use the stable default).
+
+    The type map is alias-dictionary-derived — dictionary-scale by current
+    design — but ungated it was a latent executor-OOM if a deployment feeds
+    an entity-scale map (VERDICT r4 task 3). Gated ONCE on the raw frame
+    (one memoized estimate job; engine callers pass a localCheckpointed
+    map): the hint survives the two projections below, so both joins stay
+    single-pass broadcast hash joins while the map fits."""
+    entity_types = broadcast_if_small(entity_types)
     st = entity_types.select(
         F.col("entity_id").alias("subject_id"), F.col("type").alias("subject_type")
     )
@@ -102,8 +112,8 @@ def attach_types(linked_triples: DataFrame, entity_types: DataFrame) -> DataFram
     )
     return (
         linked_triples
-        .join(F.broadcast(st), "subject_id", "left")
-        .join(F.broadcast(ot), "object_id", "left")
+        .join(st, "subject_id", "left")
+        .join(ot, "object_id", "left")
         .withColumn("subject_type", F.coalesce("subject_type", F.lit("entity")))
         .withColumn("object_type", F.coalesce("object_type", F.lit("entity")))
     )

@@ -198,19 +198,32 @@ def community_chains(
 
 def chains_with_descriptions(chains: DataFrame, entities: DataFrame) -> DataFrame:
     """J1: decorate chain nodes with entity descriptions — case-insensitive
-    broadcast lookup, first match wins, empty-string defaults on miss
-    (gen_agent/sampling.py:175-223)."""
+    lookup, first match wins, empty-string defaults on miss
+    (gen_agent/sampling.py:175-223).
+
+    Scale shape (VERDICT r4 #1): ``entities`` is the deduped entities table
+    (10^8+ rows at 100×) and must NEVER be broadcast whole. The sampled
+    chains are query-scale, so the chain-node key set is broadcast into a
+    SEMI-join that prunes the entities side down to the nodes actually on a
+    chain BEFORE the first-match window; the pruned lookup then rides the
+    shared byte gate."""
     from pyspark.sql import Window
-    keyed = entities.select(
-        F.lower(F.col("title")).alias("_k"), "title", "description", "type"
-    )
-    w = Window.partitionBy("_k").orderBy("title")
-    first = keyed.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") == 1).drop("_rn")
+
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
     exploded = chains.select(
         "chain", F.posexplode("chain").alias("pos", "node")
     ).withColumn("_k", F.lower(F.col("node")))
-    looked = exploded.join(F.broadcast(first), "_k", "left").select(
+    # chain-node key set: query-scale; pinned so the byte gates below (and
+    # the semi-join broadcast) estimate/ship a materialized frame instead
+    # of re-running the chain subplan (CLAUDE.md pin-before-gate rule)
+    keys = exploded.select("_k").distinct().localCheckpoint()
+    keyed = entities.select(
+        F.lower(F.col("title")).alias("_k"), "title", "description", "type"
+    ).join(broadcast_if_small(keys), "_k", "left_semi")
+    w = Window.partitionBy("_k").orderBy("title")
+    first = keyed.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1).drop("_rn").localCheckpoint()
+    looked = exploded.join(broadcast_if_small(first), "_k", "left").select(
         "chain", "pos", "node",
         F.coalesce("description", F.lit("")).alias("description"),
         F.coalesce("type", F.lit("")).alias("type"),

@@ -420,8 +420,20 @@ def run_graph_stage(
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             for fut in [pool.submit(j) for j in jobs]:
                 fut.result()
-    finally:
+    except BaseException:
+        # a failed write must not leave the ontology/nodes build threads
+        # running Spark jobs after this function has raised (ADVICE r4):
+        # cancel anything not started and WAIT for in-flight builds
+        build_pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    else:
+        # success path: the write closures already resolved every build
+        # future, so nothing is in flight — no need to block on shutdown
         build_pool.shutdown(wait=False)
+    # every table under out_dir was just overwritten: drop memoized byte
+    # estimates so plan-identical re-reads of them re-estimate (r4 #3)
+    from deep_reason_spark.functions.broadcast import bump_estimate_epoch
+    bump_estimate_epoch()
     _lap("writes")
     metrics.wall_ms["graph"] = int((time.monotonic() - t0) * 1000)
 

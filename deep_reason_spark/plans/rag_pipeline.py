@@ -110,7 +110,8 @@ IVF_DEFAULT_CELLS = 16
 
 def build_ivf_index(embeddings: DataFrame,
                     num_cells: int = IVF_DEFAULT_CELLS,
-                    label_col: str = "label") -> tuple[DataFrame, DataFrame]:
+                    label_col: str = "label",
+                    index_dir: str | None = None) -> tuple[DataFrame, DataFrame]:
     """Materialized IVF coarse index — the engine's analogue of the
     reference's ES dense_vector cosine index (``rag/en-es-index-body.yaml:
     31-36``), built from the shared v5/v6 machinery (VERDICT r3 task 2):
@@ -120,15 +121,23 @@ def build_ivf_index(embeddings: DataFrame,
       aggregation must run once per index build, not once per consumer
       (probe ranking in both branches reuses the pinned frame);
     - ``cells`` (doc_id, cell):  each corpus vector assigned its nearest
-      centroid by exact-decimal cosine (corpus-scale — stays lazy; at
-      deployment it is written once as a partitioned index table and
-      reused by every query batch).
+      centroid by exact-decimal cosine. MATERIALIZED HERE, once per index
+      build (VERDICT r4 task 2 — returned lazy, the corpus-scale
+      assignment scan re-ran inside every consumer: both vector branches
+      of one query batch paid it). With ``index_dir`` the assignment is
+      written as a cell-partitioned parquet index table and read back —
+      the deployment shape (each probe's cells prune to a partition scan);
+      without it the narrow (doc_id, cell) frame is pinned to a
+      disk-backed persist and materialized by one count job (never a pure
+      in-memory checkpoint of a corpus-cardinality frame — CLAUDE.md).
 
     Seeding: a ``label_col`` column, when present, seeds the centroids
     (the supervised fixture path); otherwise vectors are seeded into
     ``num_cells`` deterministic hash groups (k-means-style random init,
     reproducible) — so ANY (vec_id, embedding) table indexes without
     schema preconditions."""
+    from pyspark import StorageLevel
+
     from deep_reason_spark.operators.topics import (
         assign_topics,
         seeded_centroids,
@@ -141,6 +150,12 @@ def build_ivf_index(embeddings: DataFrame,
         embeddings, label_col=label_col).localCheckpoint()
     cells = assign_topics(embeddings, cents).select(
         F.col("vec_id").alias("doc_id"), F.col("topic").alias("cell"))
+    if index_dir is not None:
+        cells.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+        cells = cells.sparkSession.read.parquet(index_dir)
+    else:
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+        cells.count()  # one assignment pass, shared by every consumer
     return cells, cents
 
 

@@ -459,98 +459,82 @@ QUERIES.update(EXTRA_QUERIES)
 ORACLES.update(extra_oracles())
 
 # ---------------------------------------------------------------------------
-# Explicit driver sweep order (VERDICT r3 task 1). The driver records only
-# a ~50-row PREFIX of queries() (r2 and r3 both cut at exactly 50), so:
-#   1. queries that are NEW or whose PLAN CHANGED this round go first
-#      (they have no driver evidence for the current code);
-#   2. queries whose newest driver-green row is oldest go next (the r2-only
-#      nine rotated to the front this round);
-#   3. multi-round-green, unchanged queries go last — if the sweep is
-#      capped, only rows with the deepest green history fall off the end.
-# Every registered query MUST appear here (enforced below + by
-# tests/test_oracle_parity.py::test_registry_consistency).
+# Driver sweep order — MECHANICAL rotation (VERDICT r4 task 1). The driver
+# records only a ~50-row PREFIX of queries() (r2/r3/r4 all cut at exactly
+# 50), so ordering is derived from the committed CORRECTNESS_r*.json
+# artifacts themselves, never hand-maintained:
+#   1. queries with NO driver-green row for their current plan go first —
+#      brand-new queries (no history) and queries listed in
+#      _PLAN_CHANGED_THIS_ROUND (history exists but predates the plan);
+#   2. then ascending by newest-green round (stalest evidence first);
+#   3. then ascending by green-row count (shallowest history first);
+#   4. name as the deterministic tie-break.
+# With >50 registered queries this rotates the prefix automatically every
+# round: whatever fell off the previous sweep has the oldest newest-green
+# row and returns to the front. Keep _PLAN_CHANGED_THIS_ROUND in sync with
+# the round's engine edits (test_registry_consistency pins the expected
+# front so the rotation is reviewed, not accidental).
 # ---------------------------------------------------------------------------
 
-_SWEEP_ORDER = [
-    # -- new / plan-changed in r4 --
-    "t9_topic_aspects",
+# Registered queries whose Spark plan or oracle changed since their newest
+# driver row (r5: IVF cell materialization rewires both vector-retrieval
+# consumers; the cypher property joins became byte-gated). RESET each round
+# after the driver records fresh rows.
+_PLAN_CHANGED_THIS_ROUND = {
     "rag_ivf_retrieval",
-    "e1_apply_edits",
-    "e2_edit_metrics",
-    "ga1_chain_relationships",
-    "u3_planned_vector",          # rerouted through the IVF index in r4
-    # -- last driver-green in r2 (rotated forward, VERDICT r3 task 1) --
-    "p8_rename_reshape",
-    "t5_rolling_fingerprint",
-    "d6_embedding_neardup",
-    "v5_ivf_topk",
-    "v6_ivf_multiprobe",
+    "u3_planned_vector",
     "cy1_text2cypher_agg",
     "cy2_text2cypher_distinct",
-    "g3_two_hop_paths",
-    "o1_relation_registry",
-    # -- first driver-green in r3 (one green row) --
-    "t6_tfidf",
-    "t7_topic_terms",
-    "t8_topic_info",
-    "c1_communities",
-    "c2_community_reports",
-    "ls1_local_search",
-    "ds1_drift_search",
-    "bs1_basic_search",
-    "qg1_question_gen",
-    # -- green r2 + r3 --
-    "rag_fulltext_lifecycle",
-    "aq1_answer_quality",
-    "g1_chain_sampling",
-    "j3_community_membership",
-    "a8_global_search",
-    "u2_undirected_dedup",
-    "s1_chunk_documents",
-    "w2_doc_context",
-    "p3_trigram_triples",
-    "kg_predicate_counts",
-    "t1_token_stats",
-    "t2_quality_score",
-    "t3_lang_guess",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "d7_neardup_clusters",
-    "d3_minhash_signatures",
-    "d4_lsh_buckets",
-    "d5_simhash",
-    "s10_fulltext_topk",
-    "w5_budget_prefix",
-    "p7_dedup_keep_first",
-    "a10_description_merge",
-    "m1_binary_meta",
-    "v1_cosine_topk",
-    "v2_sign_buckets",
-    "v3_norms",
-    "v4_label_centroids",
-    # -- green r1 + r2 + r3 (deepest history; safe to fall off a capped
-    #    sweep) --
-    "a7_pricing_summary",
-    "j1_region_stats",
-    "w6_topk_orders",
-    "w2_event_context",
-    "w3_cumsum_batches",
-    "j2_reverse_fallback",
-    "a9_degree_metrics",
-    "a11_salted_hot_agg",
-    "g5_connected_components",
-    "j6_two_hop_match",
-    "u4_anti_join_resume",
-    "u1_union_dedup",
-]
+}
 
-# A query registered but not yet placed in _SWEEP_ORDER is auto-PREPENDED
-# (new queries first is exactly the desired policy) — never an import-time
-# error: this module is the grading driver's entry point, and raising here
-# would turn a bookkeeping slip into zero recorded queries (r4 review
-# finding). test_registry_consistency still fails loudly on the slip so it
-# gets placed consciously before round end.
+
+def _driver_green_history() -> dict[str, list[int]]:
+    """query → sorted rounds with a driver-green CORRECTNESS row. A row is
+    green when it has no error, matching row counts, and neither schema nor
+    value hash mismatched (rows-only checks leave hash_match null)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import re as _re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, list[int]] = {}
+    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except Exception:  # unreadable artifact: skip, never fail import
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                hist.setdefault(name, []).append(rnd)
+    return {k: sorted(v) for k, v in hist.items()}
+
+
+def _sweep_order(names, history: dict[str, list[int]]) -> list[str]:
+    def key(name: str):
+        rounds = history.get(name, [])
+        if name in _PLAN_CHANGED_THIS_ROUND or not rounds:
+            return (0, 0, name)
+        return (rounds[-1], len(rounds), name)
+    return sorted(names, key=key)
+
+
+_SWEEP_ORDER = _sweep_order(QUERIES, _driver_green_history())
+# kept for introspection/tests; mechanical derivation can't leave a query
+# unplaced, so this is always empty now
 SWEEP_UNLISTED = sorted(set(QUERIES) - set(_SWEEP_ORDER))
-_effective_order = SWEEP_UNLISTED + [k for k in _SWEEP_ORDER if k in QUERIES]
-QUERIES = {k: QUERIES[k] for k in _effective_order}
-ORACLES = {k: ORACLES[k] for k in _effective_order if k in ORACLES}
+QUERIES = {k: QUERIES[k] for k in _SWEEP_ORDER}
+ORACLES = {k: ORACLES[k] for k in _SWEEP_ORDER if k in ORACLES}

@@ -89,6 +89,10 @@ def write_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    # storage under `path` changed: memoized byte estimates keyed on a
+    # plan-identical scan of it are now stale (VERDICT r4 #3)
+    from deep_reason_spark.functions.broadcast import bump_estimate_epoch
+    bump_estimate_epoch()
 
 
 def stage_input_hash(df: DataFrame, cols: list[str]) -> str:

@@ -21,16 +21,34 @@ def test_registry_consistency():
     assert len(QUERIES) >= 30
     assert entrymod.queries().keys() == QUERIES.keys()
     assert entrymod.oracle_sql().keys() == ORACLES.keys()
-    # the dict order IS the driver sweep order — new/changed queries must
-    # lead (driver records only a ~50-row prefix; VERDICT r3 task 1)
-    assert list(QUERIES)[:5] == ["t9_topic_aspects", "rag_ivf_retrieval",
-                                 "e1_apply_edits", "e2_edit_metrics",
-                                 "ga1_chain_relationships"]
-    # every query must be CONSCIOUSLY placed: unlisted ones are auto-
-    # prepended (import never fails — driver safety) but flagged here
+    # the dict order IS the driver sweep order, derived mechanically from
+    # the CORRECTNESS_r*.json artifacts (VERDICT r4 task 1). Assert the
+    # rotation INVARIANTS rather than a hand-pinned list:
+    from deep_reason_spark.queries import (
+        _PLAN_CHANGED_THIS_ROUND,
+        _driver_green_history,
+    )
+    order = list(QUERIES)
+    hist = _driver_green_history()
+    n_front = len(_PLAN_CHANGED_THIS_ROUND) + sum(
+        1 for q in QUERIES if q not in hist)
+    # 1. plan-changed / never-green queries lead the sweep
+    assert set(order[:n_front]) >= _PLAN_CHANGED_THIS_ROUND
+    # 2. freshness: any query whose newest driver-green row predates the
+    #    newest recorded round sits inside the driver's 50-row prefix
+    latest = max((r[-1] for r in hist.values()), default=0)
+    stale = [q for q in QUERIES
+             if hist.get(q, [0])[-1] < latest or q not in hist]
+    for q in stale:
+        assert order.index(q) < 50, (
+            f"{q} has stale driver evidence but sits outside the prefix")
+    # 3. only queries green in the newest round may fall off the end
+    for q in order[50:]:
+        assert hist.get(q) and hist[q][-1] == latest \
+            and q not in _PLAN_CHANGED_THIS_ROUND, (
+            f"{q} lacks newest-round green evidence yet fell off the prefix")
     from deep_reason_spark.queries import SWEEP_UNLISTED
-    assert SWEEP_UNLISTED == [], (
-        f"place {SWEEP_UNLISTED} in _SWEEP_ORDER (new queries go FIRST)")
+    assert SWEEP_UNLISTED == []
 
 
 def test_entry_smoke(spark):

@@ -227,3 +227,44 @@ def test_ivf_index_works_without_label_column(spark, emb):
     exact = {(r.question_id, r.doc_id)
              for r in vector_branch_exact(qs, bare, top_k=3).collect()}
     assert ivf_all == exact
+
+
+def test_ivf_cells_materialized_once(spark, emb, tmp_path):
+    """VERDICT r4 task 2: the corpus-scale cell assignment is computed once
+    per index BUILD, not once per consumer — build_ivf_index returns cells
+    pinned to a disk-backed persist (or, with index_dir, a written-and-
+    re-read partitioned parquet index), so both vector branches of one
+    query batch read the materialized assignment instead of each re-running
+    the assign_topics scan."""
+    from deep_reason_spark.plans.rag_pipeline import (
+        build_ivf_index,
+        vector_branch,
+    )
+
+    bare = emb.select("vec_id", "embedding")
+    cells, cents = build_ivf_index(bare)
+    lvl = cells.storageLevel
+    assert lvl.useDisk and lvl.useMemory  # MEMORY_AND_DISK pin, not lazy
+    qs = bare.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("question_vec"),
+    )
+    # every consumer plan scans the materialized assignment (an in-memory
+    # relation), never the assignment's own aggregation subplan
+    plan = vector_branch(qs, bare, ivf=(cells, cents)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+    # deployment shape: the index written as a cell-partitioned table
+    idx_dir = str(tmp_path / "ivf_index")
+    cells2, cents2 = build_ivf_index(bare, index_dir=idx_dir)
+    import os as _os
+    assert any(d.startswith("cell=") for d in _os.listdir(idx_dir))
+    got_disk = {(r.doc_id, r.cell) for r in cells2.collect()}
+    got_mem = {(r.doc_id, r.cell) for r in cells.collect()}
+    assert got_disk == got_mem
+    plan2 = vector_branch(qs, bare, ivf=(cells2, cents2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Parquet" in plan2 or "parquet" in plan2
+    cells.unpersist()
