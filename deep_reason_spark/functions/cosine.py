@@ -81,6 +81,14 @@ def cosine_topk(
     scans its probed IVF cells instead of the whole corpus. Pairs whose
     vectors share no dimension score no row (dot 0), same as the unpruned
     inverted-index fold.
+
+    PRECONDITION (ADVICE r4): ``candidates`` rows must be UNIQUE on
+    (probe_ids..., item_ids...) — a duplicate pair would join twice into
+    the dot-product aggregation and double the summed dot. Both in-repo
+    producers are unique by construction (``ivf_candidates`` expands a
+    ranked top-nprobe per probe against a one-cell-per-doc assignment; the
+    SQL mirror replays the same shape); deduplicating here would spend a
+    corpus-subset-scale shuffle on every call to re-prove it.
     """
     if item_val == probe_val:
         raise ValueError("item_val and probe_val must differ (join ambiguity)")
@@ -132,7 +140,9 @@ def cosine_topk_sql(
 
     ``items``/``probes`` name CTEs (or tables) already shaped
     (ids..., dim, val); ``candidates`` optionally names a
-    (probe_ids..., item_ids...) pair CTE mirroring the ANN pruning hook.
+    (probe_ids..., item_ids...) pair CTE mirroring the ANN pruning hook —
+    same uniqueness precondition as :func:`cosine_topk` (duplicate pairs
+    would double dots in BOTH engines identically, but are still wrong).
     Emits ``{prefix}inorm/pnorm/dots/scored`` and the final ``{out}`` CTE
     with (probe_ids..., item_ids..., score, rank ≤ k). Embed inside a WITH
     chain: ``WITH ..., {cosine_topk_sql(...)}``."""

@@ -12,7 +12,12 @@ Algorithm: alternating large-star / small-star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
 DataFrame joins — converges in O(log n) rounds regardless of component
 diameter, which is what survives 10^12-node graphs (naive label
-propagation needs O(diameter) rounds).
+propagation needs O(diameter) rounds). TWO-REGIME (r5): an edge set at or
+below ``SMALL_CC_EDGES`` undirected edges skips the rounds entirely and
+labels on the driver via bounded union-find — the distributed rounds are
+pure fixed stage latency at that size (AQE-of-CC, in spirit: pick the
+physical strategy from the measured input, exactly like the broadcast
+byte gate).
 
 Scale hardening (north rule):
 - ``localCheckpoint()`` every iteration truncates lineage — without it the
@@ -29,6 +34,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Two-regime execution (r5): at or below this many UNDIRECTED edges the
+# component labeling runs as driver-side union-find — one bounded collect
+# + one createDataFrame — instead of the iterative star rounds. The
+# distributed algorithm's per-round cost is 4-5 sequential stages (two
+# star shuffles, a distinct, a checkpoint, a convergence agg): pure fixed
+# latency that dominates small graphs (a 1.5k-edge pruned community graph
+# measured 9.6 s of rounds vs <0.5 s of union-find). The collect is
+# BOUNDED by this knob (not an unbounded driver loop): ~64k edges ≈ a few
+# MB on the driver. Above the threshold the O(log n)-round operator runs
+# unchanged — the regime that survives 10^12 nodes. Module global, read
+# at call time (deployment/test knob, CLAUDE.md gate convention).
+SMALL_CC_EDGES = 65_536
 
 
 def _min_by_key(df: DataFrame, key: str, val: str, salt: int) -> DataFrame:
@@ -79,17 +97,61 @@ def _small_star(b: DataFrame, salt: int) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_union_find(b: DataFrame) -> DataFrame:
+    """Small-graph regime: exact min-label union-find over the collected
+    (bounded — see SMALL_CC_EDGES) edge set. Identical output contract to
+    the distributed rounds: component = min node id, every node labeled.
+    Smaller-root-wins union keeps each tree's root at the component min at
+    all times (every node starts as its own root, so the global min is a
+    root and never loses a merge); UTF-8 byte order equals code-point
+    order, so Python string comparison matches Spark's."""
+    pairs = [(r["u"], r["v"])
+             for r in b.where(F.col("u") < F.col("v")).collect()]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+    labels = sorted((x, find(x))
+                    for x in {n for uv in pairs for n in uv})
+    from pyspark.sql.types import StructField, StructType
+    dt = b.schema["u"].dataType
+    schema = StructType(
+        [StructField("node", dt), StructField("component", dt)])
+    return b.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
     salt: int = 0,
+    small_graph_threshold: int | None = None,
 ) -> DataFrame:
     """→ (node, component) where component = min node id of the component.
 
     Isolated endpoints appear (every node seen in ``edges`` gets a label);
-    callers union isolated nodes back with label = own id."""
+    callers union isolated nodes back with label = own id.
+
+    ``small_graph_threshold``: undirected-edge count at or below which the
+    driver union-find regime runs instead of the distributed rounds
+    (default: module global SMALL_CC_EDGES; pass 0 to force the
+    distributed path, e.g. in tests of the round machinery)."""
+    if small_graph_threshold is None:
+        small_graph_threshold = SMALL_CC_EDGES
     b = _canon_edges(edges, src, dst).localCheckpoint()
     # node set derived from the checkpointed bidirectional set so the input
     # plan is executed exactly once
@@ -100,6 +162,8 @@ def connected_components(
     n_edges = b.count()
     if n_edges == 0:
         return b.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    if n_edges <= 2 * small_graph_threshold:  # b is bidirectional
+        return _driver_union_find(b)
     parts = max(1, min(512, n_edges // 1_000_000 + 1))
     # the intermediate dedups/repartitions bound row inflation between the
     # two star passes — essential on 10^9-edge graphs, pure per-round stage

@@ -262,10 +262,13 @@ def run_graph_stage(
         # pair whose aggregate weight clears min_weight (r3 review finding
         # for predicates; ADVICE r3 for reciprocal a→b / b→a edges, which
         # also double-counted in community_reports' internal-degree rollup)
+        # pinned: consumed by the prune subplan AND the all-nodes set —
+        # without the pin the pair aggregation shuffle runs twice (same
+        # entity-pair scale as the already-pinned edge_agg)
         comm_edges = edge_agg.groupBy(
             F.least("source", "target").alias("src"),
             F.greatest("source", "target").alias("dst"),
-        ).agg(F.sum("weight").cast("bigint").alias("weight"))
+        ).agg(F.sum("weight").cast("bigint").alias("weight")).localCheckpoint()
         kept_edges = prune_edges(
             comm_edges, weight_col="weight",
             min_weight=community_min_weight, max_degree=community_max_degree,
@@ -397,28 +400,43 @@ def run_graph_stage(
             os.path.join(out_dir, name))
 
     jobs = [
-        lambda: _write_vocab("ontology_nodes", fut_onto.result()[0]),
-        lambda: _write_vocab("ontology_relations", fut_onto.result()[1]),
-        lambda: _write_vocab("ontology_connections", fut_onto.result()[2]),
-        lambda: _write_plain("kg_nodes", _kg_nodes()),
-        lambda: _write_plain("kg_triplets", _kg_triplets()),
-        lambda: _write_plain("communities", _comm_tables()[0]),
-        lambda: _write_plain("community_reports", _comm_tables()[1]),
-        lambda: _write_plain(MAPPING_DIR, mapping),
-        lambda: write_partitioned(
+        ("ontology_nodes",
+         lambda: _write_vocab("ontology_nodes", fut_onto.result()[0])),
+        ("ontology_relations",
+         lambda: _write_vocab("ontology_relations", fut_onto.result()[1])),
+        ("ontology_connections",
+         lambda: _write_vocab("ontology_connections", fut_onto.result()[2])),
+        ("kg_nodes", lambda: _write_plain("kg_nodes", _kg_nodes())),
+        ("kg_triplets", lambda: _write_plain("kg_triplets", _kg_triplets())),
+        ("communities",
+         lambda: _write_plain("communities", _comm_tables()[0])),
+        ("community_reports",
+         lambda: _write_plain("community_reports", _comm_tables()[1])),
+        (MAPPING_DIR, lambda: _write_plain(MAPPING_DIR, mapping)),
+        (NODES_DIR, lambda: write_partitioned(
             fut_nodes.result().withColumn(
                 "bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
             os.path.join(out_dir, NODES_DIR),
-        ),
-        lambda: write_partitioned(
+        )),
+        (EDGES_DIR, lambda: write_partitioned(
             edges.withColumn(
                 "bucket", F.pmod(F.xxhash64("source"), F.lit(16)).cast("int")),
             os.path.join(out_dir, EDGES_DIR),
-        ),
+        )),
     ]
+
+    def _timed(name: str, thunk) -> None:
+        # per-table wall time INCLUDING the build-future wait — the writes
+        # overlap, so the stage-level lap can't attribute cost; these rows
+        # show which table gates the wave (r5 task: graph.writes latency)
+        w0 = time.monotonic()
+        thunk()
+        metrics.wall_ms[f"graph.write.{name}"] = int(
+            (time.monotonic() - w0) * 1000)
+
     try:
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            for fut in [pool.submit(j) for j in jobs]:
+            for fut in [pool.submit(_timed, n, j) for n, j in jobs]:
                 fut.result()
     except BaseException:
         # a failed write must not leave the ontology/nodes build threads

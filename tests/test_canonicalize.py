@@ -46,19 +46,39 @@ def test_labels_are_component_minimum(spark):
 
 def test_long_path_converges_logarithmically(spark):
     # path of 64 nodes — naive propagation needs 63 rounds; star algorithm
-    # must finish well under max_iter=12
+    # must finish well under max_iter=12 (threshold 0 forces the
+    # DISTRIBUTED regime: this test exists to cover the round machinery)
     pairs = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(63)]
-    rows = connected_components(_edges(spark, pairs), max_iter=12).collect()
+    rows = connected_components(_edges(spark, pairs), max_iter=12,
+                                small_graph_threshold=0).collect()
     assert {r.component for r in rows} == {"p000"}
     assert len(rows) == 64
+
+
+def test_driver_and_distributed_regimes_agree(spark):
+    """r5 two-regime CC: the bounded union-find path must be row-identical
+    to the distributed star rounds on the same graph (mixed components,
+    a hub, a long path, isolated-free)."""
+    pairs = (
+        [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(20)]
+        + [("hub", f"leaf{i:03d}") for i in range(100)]
+        + [("q1", "q2"), ("q2", "q3")]
+    )
+    e = _edges(spark, pairs)
+    small = sorted((r.node, r.component) for r in
+                   connected_components(e).collect())
+    dist = sorted((r.node, r.component) for r in
+                  connected_components(
+                      e, small_graph_threshold=0).collect())
+    assert small == dist
 
 
 def test_star_hub_salted_equals_unsalted(spark):
     # hub of degree 500 (FIXTURES.md F5 case b): salting must not change
     # the answer, only the shuffle shape
     pairs = [("hub", f"leaf{i:04d}") for i in range(500)] + [("x1", "x2")]
-    unsalted = _components(spark, pairs, salt=0)
-    salted = _components(spark, pairs, salt=8)
+    unsalted = _components(spark, pairs, salt=0, small_graph_threshold=0)
+    salted = _components(spark, pairs, salt=8, small_graph_threshold=0)
     assert unsalted == salted
     assert len(unsalted) == 2
 
