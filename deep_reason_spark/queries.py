@@ -478,13 +478,19 @@ ORACLES.update(extra_oracles())
 
 # Registered queries whose Spark plan or oracle changed since their newest
 # driver row (r5: IVF cell materialization rewires both vector-retrieval
-# consumers; the cypher property joins became byte-gated). RESET each round
-# after the driver records fresh rows.
+# consumers; the cypher property joins became byte-gated; the two-regime
+# connected components touches every CC/community consumer). RESET each
+# round after the driver records fresh rows.
 _PLAN_CHANGED_THIS_ROUND = {
     "rag_ivf_retrieval",
     "u3_planned_vector",
     "cy1_text2cypher_agg",
     "cy2_text2cypher_distinct",
+    "g5_connected_components",
+    "d7_neardup_clusters",
+    "c1_communities",
+    "c2_community_reports",
+    "ds1_drift_search",
 }
 
 
