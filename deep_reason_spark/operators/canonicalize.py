@@ -214,6 +214,98 @@ def connected_components(
     )
 
 
+def incremental_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    salt: int = 0,
+    small_graph_threshold: int | None = None,
+) -> DataFrame:
+    """Exact incremental connected components: fold a batch of NEW edges
+    into an existing ``(node, component)`` labeling (component = min member
+    id, the invariant every CC entry point here maintains) and return the
+    labeling of the union graph — identical to a full recompute, while
+    touching only the delta (the new edges and the labels table; never the
+    historical EDGE set).
+
+    The reference refreshes its graph by feeding new triplets plus the
+    ``current_graph`` back through an LLM refine chain (deep-reason
+    ``kg_agent/chains.py:99-135``) — O(graph) work per batch. The dataflow
+    analogue contracts each already-known component to its label: map both
+    endpoints of every new edge through ``old_labels`` (unknown nodes map
+    to themselves), drop edges that fall inside one component, run CC on
+    that contracted graph (batch-scale — the two-regime operator labels a
+    typical micro-batch on the driver), then compose the old labeling with
+    the delta labeling.
+
+    Exactness: old label = min of its members, the delta CC takes the min
+    over representative ids, and ``min(min(A), min(B), new nodes…)`` is the
+    min over the merged component — so composed labels equal the full
+    recompute's.
+
+    Scale shape (10^9-row labels table): ``old_labels`` is scanned exactly
+    twice — once probing the broadcast batch-endpoint set, once applying
+    the broadcast ``rep → final`` delta map — no shuffle of the labels
+    table, no scan of historical edges. Callers pass a storage-backed
+    ``old_labels`` (parquet read / checkpoint); batch-scale frames are
+    pinned + byte-gated here per the CLAUDE.md broadcast rule.
+    """
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
+
+    e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    )
+    endpoints = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()  # pin: consumed by the gate, the probe, the anti
+    )
+    # labels of batch endpoints: stream the big labels table past the
+    # broadcast endpoint set (inner), then anti-derive the unseen nodes
+    hits = (
+        old_labels.join(broadcast_if_small(endpoints), "node")
+        .select("node", "component")
+        .localCheckpoint()
+    )
+    misses = endpoints.join(broadcast_if_small(hits), "node", "left_anti")
+    ep_map = (
+        hits.select("node", F.col("component").alias("rep"))
+        .unionByName(misses.select("node", F.col("node").alias("rep")))
+        .localCheckpoint()  # pin: probed twice (u and v sides) + gated
+    )
+    gated = broadcast_if_small(ep_map)
+    contracted = (
+        e.join(gated.withColumnRenamed("node", "u")
+               .withColumnRenamed("rep", "ru"), "u")
+        .join(gated.withColumnRenamed("node", "v")
+              .withColumnRenamed("rep", "rv"), "v")
+        .select(F.col("ru").alias("src"), F.col("rv").alias("dst"))
+        .where(F.col("ru") != F.col("rv"))
+    )
+    delta = connected_components(
+        contracted, salt=salt, small_graph_threshold=small_graph_threshold
+    ).localCheckpoint()  # batch-scale; composed into both output legs
+    delta_map = broadcast_if_small(
+        delta.select(F.col("node").alias("rep"), F.col("component").alias("_f"))
+    )
+    updated_old = (
+        old_labels.join(delta_map, old_labels["component"] == F.col("rep"),
+                        "left")
+        .select(
+            "node",
+            F.coalesce("_f", old_labels["component"]).alias("component"),
+        )
+    )
+    new_labels = (
+        misses.join(delta_map, misses["node"] == F.col("rep"), "left")
+        .select("node", F.coalesce("_f", F.col("node")).alias("component"))
+    )
+    return updated_old.unionByName(new_labels)
+
+
 def normalize_name(col):
     """Blocking key: lowercase, collapse non-alphanumerics."""
     return F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")

@@ -434,7 +434,76 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# G7 — incremental connected components: a base labeling folded forward with
+# a late-arriving edge batch must equal the full-graph recompute. Fixture:
+# the customer/supplier membership graph — base batch = customer→nation
+# (custkey % 10 != 0) + supplier→nation stars (25 nation-components); late
+# batch = the remaining customers (new-node path) + the nation→region
+# bridges (the MERGE path: 25 components collapse to 5 regions). The oracle
+# closes the FULL edge union with a recursive CTE — incremental == full is
+# exactly the claim under test.
+# ---------------------------------------------------------------------------
+
+def q_g7_incremental_cc(spark, sf_dir):
+    from deep_reason_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+                 ).alias("src"),
+        F.concat(F.lit("n"), F.lpad(F.col("c_nationkey").cast("string"), 2, "0")
+                 ).alias("dst"),
+        F.col("c_custkey").alias("_k"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.lpad(F.col("s_suppkey").cast("string"), 7, "0")
+                 ).alias("src"),
+        F.concat(F.lit("n"), F.lpad(F.col("s_nationkey").cast("string"), 2, "0")
+                 ).alias("dst"),
+    )
+    bridges = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")
+                 ).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    base = (cust.where(F.col("_k") % 10 != 0).drop("_k")
+            .unionByName(supp))
+    late = cust.where(F.col("_k") % 10 == 0).drop("_k").unionByName(bridges)
+    old = connected_components(base).select("node", "component")\
+        .localCheckpoint()
+    return incremental_components(old, late).select("node", "component")
+
+
+ORACLE_G7 = """
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS u,
+         'n' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS v
+  FROM customer
+  UNION ALL
+  SELECT 's' || lpad(CAST(s_suppkey AS VARCHAR), 7, '0'),
+         'n' || lpad(CAST(s_nationkey AS VARCHAR), 2, '0')
+  FROM supplier
+  UNION ALL
+  SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0'),
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+),
+e AS MATERIALIZED (SELECT u AS a, v AS b FROM base UNION SELECT v, u FROM base),
+reach(n, anc) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.anc
+),
+comp AS (SELECT n, LEAST(n, MIN(anc)) AS m FROM reach GROUP BY n)
+SELECT n AS node, m AS component FROM comp
+"""
+
+
 GRAPH_QUERIES = {
+    "g7_incremental_cc": q_g7_incremental_cc,
     "c1_communities": q_c1_communities,
     "c2_community_reports": q_c2_community_reports,
     "ls1_local_search": q_ls1_local_search,
@@ -444,6 +513,7 @@ GRAPH_QUERIES = {
 }
 
 GRAPH_ORACLES = {
+    "g7_incremental_cc": ORACLE_G7,
     "c1_communities": ORACLE_C1,
     "c2_community_reports": ORACLE_C2,
     "ls1_local_search": _oracle_ls1(),
