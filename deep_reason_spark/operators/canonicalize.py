@@ -221,6 +221,7 @@ def incremental_components(
     dst: str = "dst",
     salt: int = 0,
     small_graph_threshold: int | None = None,
+    return_delta: bool = False,
 ) -> DataFrame:
     """Exact incremental connected components: fold a batch of NEW edges
     into an existing ``(node, component)`` labeling (component = min member
@@ -250,6 +251,12 @@ def incremental_components(
     table, no scan of historical edges. Callers pass a storage-backed
     ``old_labels`` (parquet read / checkpoint); batch-scale frames are
     pinned + byte-gated here per the CLAUDE.md broadcast rule.
+
+    ``return_delta=True`` additionally returns the batch-scale relabel map
+    ``(rep, final)`` — every representative whose label CHANGED this batch
+    — as ``(labels, delta_map)``; downstream aggregates keyed by canonical
+    id re-key through it (``operators/graph.py::incremental_edge_update``)
+    instead of diffing two labels-table snapshots.
     """
     from deep_reason_spark.functions.broadcast import broadcast_if_small
 
@@ -303,7 +310,12 @@ def incremental_components(
         misses.join(delta_map, misses["node"] == F.col("rep"), "left")
         .select("node", F.coalesce("_f", F.col("node")).alias("component"))
     )
-    return updated_old.unionByName(new_labels)
+    out = updated_old.unionByName(new_labels)
+    if return_delta:
+        changed = delta.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("rep"), F.col("component").alias("final"))
+        return out, changed
+    return out
 
 
 def normalize_name(col):

@@ -91,15 +91,27 @@ def build_edges(canonical_triples: DataFrame,
         F.sum("_n").alias("weight_cnt"),
         F.array_sort(F.collect_set("_tu")).alias("text_unit_ids"),
     )
-    hint = _gate(names)
-    named = (
-        agg.join(hint(names.select(F.col("canonical_id").alias("src"),
-                                   F.col("name").alias("_sname"))),
-                 "src", "left")
-        .join(hint(names.select(F.col("canonical_id").alias("dst"),
-                                F.col("name").alias("_tname"))),
-              "dst", "left")
-    )
+    return _finish_edges(agg, names)
+
+
+def _finish_edges(agg: DataFrame, names: DataFrame | None) -> DataFrame:
+    """Decorate an aggregated edge core (src, dst, predicate, weight_cnt,
+    text_unit_ids) into the edges-table schema. ``names=None`` renders
+    display strings from the canonical ids themselves (the coalesce
+    fallback build_edges already had for unmapped ids)."""
+    if names is not None:
+        hint = _gate(names)
+        named = (
+            agg.join(hint(names.select(F.col("canonical_id").alias("src"),
+                                       F.col("name").alias("_sname"))),
+                     "src", "left")
+            .join(hint(names.select(F.col("canonical_id").alias("dst"),
+                                    F.col("name").alias("_tname"))),
+                  "dst", "left")
+        )
+    else:
+        named = agg.withColumn("_sname", F.lit(None).cast("string")) \
+            .withColumn("_tname", F.lit(None).cast("string"))
     return named.select(
         F.md5(F.concat_ws("|", "src", "predicate", "dst")).alias("id"),
         F.concat_ws(" ", F.coalesce("_sname", F.col("src")), F.col("predicate"),
@@ -110,6 +122,102 @@ def build_edges(canonical_triples: DataFrame,
         F.col("weight_cnt").cast("double").alias("weight"),
         "text_unit_ids",
     )
+
+
+def _edge_core(edges: DataFrame) -> DataFrame:
+    """Edges-table schema → the mergeable core (inverse of _finish_edges up
+    to display decoration; Catalyst prunes the decoration joins away when
+    only these five columns are consumed)."""
+    return edges.select(
+        F.col("source").alias("src"), F.col("target").alias("dst"),
+        F.col("description").alias("predicate"),
+        F.col("weight"), "text_unit_ids",
+    )
+
+
+def _remerge(core: DataFrame, names: DataFrame | None) -> DataFrame:
+    """Re-aggregate an edge core whose keys may collide (rows from two
+    merged tables, or rows re-keyed by a canonical relabel) — EXACTLY as a
+    full ``build_edges`` recompute would, because both reductions are
+    associative: ``weight`` sums, and the bounded provenance sample is
+    min-per-hash-bucket where the bucket id is recoverable from the member
+    itself (bucket = _tu mod MAX_TEXT_UNITS), so min-per-bucket over the
+    union of per-part samples equals the full-corpus sample."""
+    keys = ["src", "dst", "predicate"]
+    w = core.groupBy(*keys).agg(
+        F.sum("weight").cast("bigint").alias("weight_cnt"))
+    tu = (
+        core.select(*keys, F.explode("text_unit_ids").alias("_tu"))
+        .groupBy(*keys, F.pmod(F.col("_tu"), F.lit(MAX_TEXT_UNITS)).alias("_b"))
+        .agg(F.min("_tu").alias("_tu"))
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_set("_tu")).alias("text_unit_ids"))
+    )
+    return _finish_edges(w.join(tu, keys), names)
+
+
+def merge_edge_tables(edges_a: DataFrame, edges_b: DataFrame,
+                      names: DataFrame | None = None) -> DataFrame:
+    """Exact associative merge of two ``build_edges`` outputs: the merged
+    table equals ``build_edges`` over the concatenated triple sets (weights
+    sum; provenance samples re-merge exactly — see ``_remerge``). This is
+    the incremental-maintenance primitive: an update batch builds its own
+    edge table from ONLY its new triples and folds it in — one edge-scale
+    pass, zero rescans of historical triples (a deployment keys edge
+    storage by (source, target, description) buckets so this pass is also
+    shuffle-free)."""
+    return _remerge(_edge_core(edges_a).unionByName(_edge_core(edges_b)),
+                    names)
+
+
+def _relabel_core(core: DataFrame, relabel_map: DataFrame) -> DataFrame:
+    """Re-key an edge core through a (rep, final) canonical relabel — the
+    delta map an incremental component merge emits. The map is batch-scale
+    (only components TOUCHED by the update) so it rides the byte-gated
+    broadcast; untouched edges pass through the coalesce unchanged."""
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
+
+    gated = broadcast_if_small(relabel_map.select("rep", "final").distinct())
+    return (
+        core.join(gated.withColumnRenamed("rep", "src")
+                  .withColumnRenamed("final", "_sf"), "src", "left")
+        .join(gated.withColumnRenamed("rep", "dst")
+              .withColumnRenamed("final", "_df"), "dst", "left")
+        .select(
+            F.coalesce("_sf", F.col("src")).alias("src"),
+            F.coalesce("_df", F.col("dst")).alias("dst"),
+            "predicate", "weight", "text_unit_ids",
+        )
+    )
+
+
+def apply_relabel(edges: DataFrame, relabel_map: DataFrame,
+                  names: DataFrame | None = None) -> DataFrame:
+    """Re-key an edges table after a canonical-id relabel and re-aggregate
+    the rows whose keys now collide (see ``_relabel_core``/``_remerge``)."""
+    return _remerge(_relabel_core(_edge_core(edges), relabel_map), names)
+
+
+def incremental_edge_update(
+    old_edges: DataFrame,
+    new_canonical_triples: DataFrame,
+    relabel_map: DataFrame | None = None,
+    names: DataFrame | None = None,
+) -> DataFrame:
+    """One-pass incremental maintenance of the edges table: re-key the old
+    table by the component-merge relabel (if any), build the new batch's
+    edge aggregate from ONLY its triples, and fold both through a single
+    ``_remerge`` — so each update batch costs one corpus-pass over the NEW
+    triples plus one edge-scale aggregation, never a rescan of historical
+    triples (the reference re-feeds its whole ``current_graph`` per refine
+    round, deep-reason ``kg_agent/chains.py:99-135``). Equals the full
+    recompute exactly; pair with ``incremental_components(...,
+    return_delta=True)`` for the relabel map."""
+    core = _edge_core(old_edges)
+    if relabel_map is not None:
+        core = _relabel_core(core, relabel_map)
+    fresh = _edge_core(build_edges(new_canonical_triples, names=names))
+    return _remerge(core.unionByName(fresh), names)
 
 
 def add_combined_degree(edges: DataFrame) -> DataFrame:

@@ -502,8 +502,67 @@ SELECT n AS node, m AS component FROM comp
 """
 
 
+# ---------------------------------------------------------------------------
+# G8 — incremental edge-aggregate maintenance: an edges table built from a
+# base triple batch, re-keyed by a canonical relabel (odd suppliers merge
+# into their even predecessor — the component-merge case) and folded with a
+# late triple batch, must equal the full recompute over every triple. The
+# oracle aggregates the FULL relabelled triple set directly — incremental
+# == full is the claim under test (weights are SQL-checkable; the bounded
+# provenance sample is pytest-verified, xxhash64 has no DuckDB mirror).
+# ---------------------------------------------------------------------------
+
+def q_g8_incremental_edges(spark, sf_dir):
+    from deep_reason_spark.operators.graph import (
+        build_edges,
+        incremental_edge_update,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    final_supp = F.when(F.col("l_suppkey") % 2 == 1,
+                        F.col("l_suppkey") - 1).otherwise(F.col("l_suppkey"))
+
+    def triples(df, suppkey_col):
+        src = F.concat(F.lit("p"),
+                       F.lpad(F.col("l_partkey").cast("string"), 9, "0"))
+        dst = F.concat(F.lit("s"), F.lpad(suppkey_col.cast("string"), 7, "0"))
+        return df.select(
+            src.alias("src"), dst.alias("dst"),
+            F.lit("supplies").alias("predicate"),
+            F.col("l_orderkey").cast("string").alias("document_id"),
+            F.col("l_linenumber").cast("bigint").alias("order_id"),
+            src.alias("subject_canonical"), dst.alias("object_canonical"),
+        )
+
+    base = triples(li.where(F.col("l_orderkey") % 10 != 0), F.col("l_suppkey"))
+    # the late batch arrives AFTER the merge, so it is keyed by final ids
+    late = triples(li.where(F.col("l_orderkey") % 10 == 0), final_supp)
+    relabel = load(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 2 == 1).select(
+        F.concat(F.lit("s"), F.lpad(F.col("s_suppkey").cast("string"), 7, "0")
+                 ).alias("rep"),
+        F.concat(F.lit("s"),
+                 F.lpad((F.col("s_suppkey") - 1).cast("string"), 7, "0")
+                 ).alias("final"),
+    )
+    old_edges = build_edges(base).localCheckpoint()
+    merged = incremental_edge_update(old_edges, late, relabel_map=relabel)
+    return merged.select("source", "target", "description", "weight")
+
+
+ORACLE_G8 = """
+SELECT 'p' || lpad(CAST(l_partkey AS VARCHAR), 9, '0') AS source,
+       's' || lpad(CAST(CASE WHEN l_suppkey % 2 = 1 THEN l_suppkey - 1
+                             ELSE l_suppkey END AS VARCHAR), 7, '0') AS target,
+       'supplies' AS description,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 GRAPH_QUERIES = {
     "g7_incremental_cc": q_g7_incremental_cc,
+    "g8_incremental_edges": q_g8_incremental_edges,
     "c1_communities": q_c1_communities,
     "c2_community_reports": q_c2_community_reports,
     "ls1_local_search": q_ls1_local_search,
@@ -514,6 +573,7 @@ GRAPH_QUERIES = {
 
 GRAPH_ORACLES = {
     "g7_incremental_cc": ORACLE_G7,
+    "g8_incremental_edges": ORACLE_G8,
     "c1_communities": ORACLE_C1,
     "c2_community_reports": ORACLE_C2,
     "ls1_local_search": _oracle_ls1(),

@@ -1,0 +1,130 @@
+"""Incremental edge-aggregate maintenance — merging per-batch edge tables
+(and re-keying after a canonical relabel) must equal the full build_edges
+recompute EXACTLY, including the bounded provenance sample (min per hash
+bucket is associative and the bucket id is recoverable from the member)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
+from deep_reason_spark.operators.chunker import chunk_repo_files
+from deep_reason_spark.operators.extractor import extract_triples
+from deep_reason_spark.operators.graph import (
+    apply_relabel,
+    build_edges,
+    incremental_edge_update,
+    merge_edge_tables,
+)
+from deep_reason_spark.operators.linking import link_triples
+
+TRIPLE_COLS = ("src string, dst string, predicate string, document_id string, "
+               "order_id bigint, subject_canonical string, "
+               "object_canonical string")
+
+
+def _rows(df):
+    return sorted(
+        (r["id"], r["human_readable_id"], r["source"], r["target"],
+         r["description"], r["weight"], tuple(r["text_unit_ids"]))
+        for r in df.collect()
+    )
+
+
+def _names_of(canonical):
+    return (
+        canonical.select(F.col("src").alias("canonical_id"),
+                         F.col("subject_canonical").alias("name"))
+        .unionByName(canonical.select(F.col("dst").alias("canonical_id"),
+                                      F.col("object_canonical").alias("name")))
+        .groupBy("canonical_id")
+        .agg(F.max_by("name", F.length("name")).alias("name"))
+        .localCheckpoint()
+    )
+
+
+def test_merge_equals_full_on_real_extraction(spark):
+    triples = extract_triples(chunk_repo_files(generate_repo_files(spark, 60)))
+    linked = link_triples(triples, alias_dict_df(spark))
+    canonical = (
+        linked.withColumn("src", F.col("subject_id"))
+        .withColumn("dst", F.col("object_id"))
+    ).localCheckpoint()
+    names = _names_of(canonical)
+    part_a = canonical.where(F.pmod(F.xxhash64("document_id"), F.lit(2)) == 0)
+    part_b = canonical.where(F.pmod(F.xxhash64("document_id"), F.lit(2)) != 0)
+
+    full = build_edges(canonical, names=names)
+    merged = merge_edge_tables(
+        build_edges(part_a, names=names),
+        build_edges(part_b, names=names),
+        names=names,
+    )
+    assert _rows(merged) == _rows(full)
+
+
+def test_relabel_collisions_remerge_exactly(spark):
+    t = spark.createDataFrame(
+        [("a", "x", "r", "d1", 1, "a", "x"),
+         ("b", "x", "r", "d2", 1, "b", "x"),     # b→a collides with row 1
+         ("b", "y", "r", "d2", 2, "b", "y"),
+         ("x", "b", "s", "d3", 1, "x", "b")],
+        TRIPLE_COLS,
+    )
+    relabel = spark.createDataFrame([("b", "a")], "rep string, final string")
+    relabelled = t.replace({"b": "a"}, subset=["src", "dst"]) \
+        .replace({"b": "a"}, subset=["subject_canonical", "object_canonical"])
+    names = _names_of(relabelled)
+    got = apply_relabel(build_edges(t, names=names), relabel, names=names)
+    want = build_edges(relabelled, names=names)
+    assert _rows(got) == _rows(want)
+
+
+def test_incremental_update_composes_with_cc_delta(spark):
+    """End-to-end: a late similarity edge merges two components; the CC
+    delta map re-keys the old edge table while the late triple batch
+    (already keyed by the new canonical map) folds in — equal to the full
+    recompute over every triple under the final map."""
+    from deep_reason_spark.operators.canonicalize import incremental_components
+
+    old_labels = spark.createDataFrame(
+        [("n1", "n1"), ("n2", "n1"), ("n3", "n3")], "node string, component string")
+    sim_batch = spark.createDataFrame([("n2", "n3")], "src string, dst string")
+    new_labels, delta = incremental_components(
+        old_labels, sim_batch, return_delta=True)
+    assert {(r["rep"], r["final"]) for r in delta.collect()} == {("n3", "n1")}
+    assert {(r["node"], r["component"]) for r in new_labels.collect()} == {
+        ("n1", "n1"), ("n2", "n1"), ("n3", "n1")}
+
+    batch1 = spark.createDataFrame(
+        [("n1", "n3", "rel", "d1", 1, "n1", "n3"),
+         ("n1", "n3", "rel", "d1", 2, "n1", "n3"),
+         ("n3", "n1", "rel", "d2", 1, "n3", "n1")],
+        TRIPLE_COLS,
+    )
+    batch2 = spark.createDataFrame(  # keyed by the NEW map (n3 → n1)
+        [("n1", "n1", "rel", "d3", 1, "n1", "n1"),
+         ("n1", "n4", "rel", "d3", 2, "n1", "n4")],
+        TRIPLE_COLS,
+    )
+    full_relabelled = (
+        batch1.replace({"n3": "n1"},
+                       subset=["src", "dst", "subject_canonical",
+                               "object_canonical"])
+        .unionByName(batch2)
+    )
+    names = _names_of(full_relabelled)
+    got = incremental_edge_update(
+        build_edges(batch1, names=names), batch2,
+        relabel_map=delta, names=names)
+    want = build_edges(full_relabelled, names=names)
+    assert _rows(got) == _rows(want)
+
+
+def test_merge_without_names_uses_key_fallback(spark):
+    t = spark.createDataFrame(
+        [("a", "x", "r", "d1", 1, "a", "x")], TRIPLE_COLS)
+    merged = merge_edge_tables(build_edges(t), build_edges(t))
+    row = merged.collect()[0]
+    assert row["human_readable_id"] == "a r x"
+    assert row["weight"] == 2.0  # same batch twice: weights sum
