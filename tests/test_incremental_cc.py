@@ -142,3 +142,35 @@ def test_stream_maintain_components(spark, tmp_path):
     v0_nodes = {r["node"] for r in v0.select("node").collect()}
     b0_nodes = {n for e in batches[0] for n in e}
     assert v0_nodes == b0_nodes
+
+
+def test_stream_replay_overwrites_version_in_place(spark, tmp_path):
+    """Exactly-once under replay: wiping the streaming checkpoint re-runs
+    batch 0 over the same files; its labels version must be REWRITTEN in
+    place (reading only versions strictly BEFORE it), not appended — same
+    row set, same version count."""
+    import shutil
+
+    from deep_reason_spark.streaming.incremental import (
+        stream_maintain_components,
+    )
+
+    edges_dir = str(tmp_path / "edges")
+    out_dir = str(tmp_path / "cc")
+    batch = _random_batches(seed=31, n_nodes=40, n_edges=80, n_batches=1)[0]
+    spark.createDataFrame(batch, EDGE_SCHEMA).write.mode(
+        "append").parquet(edges_dir)
+
+    stream_maintain_components(spark, edges_dir, out_dir).awaitTermination(120)
+    labels_path = os.path.join(out_dir, "labels")
+    first = spark.read.parquet(labels_path)
+    n_rows, n_versions = first.count(), first.select(
+        "as_of_batch").distinct().count()
+
+    shutil.rmtree(os.path.join(out_dir, "_cc_checkpoint"))
+    stream_maintain_components(spark, edges_dir, out_dir).awaitTermination(120)
+    replayed = spark.read.parquet(labels_path)
+    assert replayed.count() == n_rows
+    assert replayed.select("as_of_batch").distinct().count() == n_versions
+    full = connected_components(spark.createDataFrame(batch, EDGE_SCHEMA))
+    assert _labels(replayed.select("node", "component")) == _labels(full)

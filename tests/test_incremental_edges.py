@@ -121,6 +121,38 @@ def test_incremental_update_composes_with_cc_delta(spark):
     assert _rows(got) == _rows(want)
 
 
+def test_node_tables_ride_the_merged_edges(spark):
+    """Closes the incremental loop for the NODES table: degree is not
+    associative from per-batch node aggregates, but build_nodes_from_edges
+    over the (exactly-merged) edges table equals the full corpus-scale
+    build — so node maintenance costs one edge-scale pass per batch too."""
+    from deep_reason_spark.operators.graph import (
+        build_nodes,
+        build_nodes_from_edges,
+    )
+
+    triples = extract_triples(chunk_repo_files(generate_repo_files(spark, 40)))
+    linked = link_triples(triples, alias_dict_df(spark))
+    canonical = (
+        linked.withColumn("src", F.col("subject_id"))
+        .withColumn("dst", F.col("object_id"))
+    ).localCheckpoint()
+    names = _names_of(canonical)
+    part_a = canonical.where(F.pmod(F.xxhash64("document_id"), F.lit(2)) == 0)
+    part_b = canonical.where(F.pmod(F.xxhash64("document_id"), F.lit(2)) != 0)
+    merged = merge_edge_tables(
+        build_edges(part_a, names=names),
+        build_edges(part_b, names=names),
+        names=names,
+    )
+    titles = names.select(F.col("canonical_id"), F.col("name").alias("title"))
+    got = {r["id"]: (r["frequency"], r["degree"])
+           for r in build_nodes_from_edges(merged, titles).collect()}
+    want = {r["id"]: (r["frequency"], r["degree"])
+            for r in build_nodes(canonical).collect()}
+    assert got == want
+
+
 def test_merge_without_names_uses_key_fallback(spark):
     t = spark.createDataFrame(
         [("a", "x", "r", "d1", 1, "a", "x")], TRIPLE_COLS)
