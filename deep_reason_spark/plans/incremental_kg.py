@@ -1,0 +1,275 @@
+"""Incremental KG maintenance plan — fold a NEW triples batch into an
+existing ``run_graph_stage`` output without rescanning historical triples.
+
+The reference refreshes its graph by re-feeding the whole ``current_graph``
+plus new triplets through an LLM refine chain per update round (deep-reason
+``kg_agent/chains.py:99-135``, ``kg_agent/agent.py:64-140``) — O(graph)
+work per batch. This plan makes the refresh a delta-only dataflow over the
+operators shipped in r5:
+
+1. the batch's surface map + similarity edges against the STORED block
+   representatives (``entity_blocks`` state: normalized-name block → min
+   entity id seen so far) — batch-scale work; a new entity connects to any
+   one prior member of its block, which is enough because the prior members
+   are already one component;
+2. ``incremental_components(..., return_delta=True)`` folds those edges
+   into the stored entity mapping and emits the (rep, final) relabel map;
+3. ``incremental_edge_update`` re-keys the stored edges table through the
+   relabel map and folds in the batch-built edge aggregate — one
+   edge-scale pass, zero historical-triple rescans;
+4. nodes rebuild from the merged edge aggregate
+   (``build_nodes_from_edges`` — proven row-equivalent to the corpus-scale
+   build in ``test_graph_nodes.py``); canonical display titles are
+   maintained as entity-scale state (relabel + max-by-length merge, the
+   same reduction the full build applies).
+
+Exactness: every reduction involved is associative (min-id components,
+summed weights, min-per-recoverable-bucket provenance, max-by-length
+titles), so each updated table equals the full ``run_graph_stage``
+recompute over the concatenated corpus — ``test_incremental_kg.py`` pins
+that equivalence end-to-end.
+
+Derived vocabulary/edge-scale tables (ontology_*, communities,
+community_reports, kg_nodes, kg_triplets) are NOT maintained here: they
+derive from the updated edge aggregate + titles at edge scale, so a
+deployment refreshes them by re-running their builders — cheap relative
+to the corpus pass this plan avoids.
+
+Storage protocol: updated tables are written to a staging dir and swapped
+in with an atomic directory rename (the lazily-read old table must never
+be overwritten mid-read; a cluster deployment uses a transactional table
+format or the HDFS rename for the same reason). State lives under
+``out_dir`` next to the stage tables: ``entity_blocks`` (vocabulary-scale)
+and ``entity_titles`` (entity-scale)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deep_reason_spark.functions.broadcast import (
+    broadcast_if_small,
+    bump_estimate_epoch,
+)
+from deep_reason_spark.operators.canonicalize import (
+    incremental_components,
+    normalize_name,
+)
+from deep_reason_spark.operators.graph import (
+    add_combined_degree,
+    build_nodes_from_edges,
+    incremental_edge_update,
+)
+from deep_reason_spark.operators.linking import build_surface_map
+from deep_reason_spark.plans.kg_pipeline import EDGES_DIR, MAPPING_DIR, NODES_DIR
+
+BLOCKS_DIR = "entity_blocks"
+TITLES_DIR = "entity_titles"
+
+
+def _ids_blocks_titles(surface_map: DataFrame):
+    """(entity_id, canonical_name) distinct → block keys + per-block min id.
+    Block semantics replicate ``build_similarity_edges`` EXACTLY (same
+    normalize, same un-trimmed key, same non-empty filter) — the state
+    table must agree with what a full rebuild would block on."""
+    ids = surface_map.select("entity_id", "canonical_name").distinct()
+    keyed = ids.select(
+        F.col("entity_id").alias("id"),
+        normalize_name(F.col("canonical_name")).alias("blk"),
+    ).where(F.length(F.trim("blk")) > 0).distinct()
+    blocks = keyed.groupBy("blk").agg(F.min("id").alias("rep"))
+    return ids, keyed, blocks
+
+
+def init_incremental_state(
+    spark: SparkSession,
+    triples: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+) -> None:
+    """Make an existing ``run_graph_stage`` output incrementally updatable:
+    one narrow corpus pass (the same distinct-surface scan the stage
+    itself runs) derives the block-representative and canonical-title
+    state tables. Call once after the initial full build."""
+    sm = build_surface_map(triples, alias_dict).localCheckpoint()
+    ids, _, blocks = _ids_blocks_titles(sm)
+    blocks.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, BLOCKS_DIR))
+    mapping = spark.read.parquet(os.path.join(out_dir, MAPPING_DIR))
+    titles = (
+        ids.join(broadcast_if_small(mapping), "entity_id")
+        .groupBy("canonical_id")
+        .agg(F.max_by("canonical_name", F.length("canonical_name"))
+             .alias("title"))
+    )
+    titles.write.mode("overwrite").parquet(os.path.join(out_dir, TITLES_DIR))
+    bump_estimate_epoch()
+
+
+def _swap_write(df: DataFrame, path: str, writer) -> None:
+    """Write ``df`` to a staging sibling then atomically swap it in —
+    ``df`` may lazily read the table being replaced, so an in-place
+    overwrite would corrupt its own input."""
+    staging = path + "__staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    writer(df, staging)
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def run_incremental_kg_update(
+    spark: SparkSession,
+    new_triples: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold ``new_triples`` into the graph-stage tables at ``out_dir``
+    (requires ``init_incremental_state`` once beforehand). Updates
+    entity_mapping, edges, nodes and the two state tables; returns the
+    refreshed (nodes, edges) readers, matching ``run_graph_stage``."""
+    from deep_reason_spark.sources.checkpoint import write_partitioned
+
+    mapping = spark.read.parquet(os.path.join(out_dir, MAPPING_DIR))
+    old_blocks = spark.read.parquet(os.path.join(out_dir, BLOCKS_DIR))
+    old_titles = spark.read.parquet(os.path.join(out_dir, TITLES_DIR))
+    old_edges = spark.read.parquet(
+        os.path.join(out_dir, EDGES_DIR)).drop("bucket")
+
+    # ---- batch-scale entity work ------------------------------------------
+    sm = build_surface_map(new_triples, alias_dict).localCheckpoint()
+    ids, keyed, new_blocks = _ids_blocks_titles(sm)
+    keyed = keyed.localCheckpoint()  # batch-scale; feeds edges + block merge
+    # similarity edges for the union graph, WITHOUT rescanning old names:
+    # a batch id links to its block's stored representative when the block
+    # is known, else to the batch-local block minimum (a brand-new block's
+    # internal star). Prior members of a known block are already one
+    # component, so one edge to one prior member is exact.
+    new_reps = new_blocks.withColumnRenamed("rep", "_nrep")
+    sim = (
+        keyed.join(broadcast_if_small(old_blocks), "blk", "left")
+        .join(broadcast_if_small(new_reps), "blk")
+        .select(
+            F.col("id").alias("src"),
+            F.coalesce("rep", F.col("_nrep")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    labels, delta = incremental_components(
+        mapping.select(F.col("entity_id").alias("node"),
+                       F.col("canonical_id").alias("component")),
+        sim, salt=salt, return_delta=True,
+    )
+    delta = delta.localCheckpoint()  # batch-scale; consumed 3×
+    # batch ids untouched by any similarity edge (sole member of a new
+    # block, or an empty block key) AND unknown to the prior mapping label
+    # themselves — exactly the full build's fallback for star-free ids.
+    # The old-membership probe is the plan's third (and last) broadcast-
+    # probed scan of the labels table; everything else is batch-scale.
+    batch_ids = ids.select(F.col("entity_id").alias("node")) \
+        .distinct().localCheckpoint()
+    old_hit_ids = mapping.join(
+        broadcast_if_small(batch_ids.withColumnRenamed("node", "entity_id")),
+        "entity_id").select(F.col("entity_id").alias("node"))
+    touched = (
+        sim.select(F.col("src").alias("node"))
+        .union(sim.select(F.col("dst").alias("node")))
+        .union(old_hit_ids).distinct().localCheckpoint()
+    )
+    missing = batch_ids.join(broadcast_if_small(touched), "node", "left_anti")
+    new_mapping = labels.unionByName(
+        missing.select("node", F.col("node").alias("component"))
+    ).select(F.col("node").alias("entity_id"),
+             F.col("component").alias("canonical_id")).localCheckpoint()
+    # (entity-scale pin, same convention as run_graph_stage's mapping: the
+    # write, the batch lookup and the title merge all consume it)
+
+    # ---- canonical ids for the batch's triples (batch-corpus-scale) -------
+    batch_canon = new_mapping.join(
+        broadcast_if_small(batch_ids.withColumnRenamed("node", "entity_id")),
+        "entity_id").localCheckpoint()  # batch-scale (entity_id→canonical)
+    batch_map = (
+        sm.join(broadcast_if_small(batch_canon), "entity_id")
+        .select("surface", "canonical_id")
+        .localCheckpoint()
+    )
+
+    def side(role, cid):
+        return batch_map.select(F.col("surface").alias(role),
+                                F.col("canonical_id").alias(cid))
+
+    hint = broadcast_if_small
+    canonical_new = (
+        new_triples.join(hint(side("subject", "src")), "subject")
+        .join(hint(side("object", "dst")), "object")
+    )
+
+    # ---- titles: relabel stored state, fold in the batch (max-by-length) --
+    batch_titles = (
+        ids.join(broadcast_if_small(batch_canon), "entity_id")
+        .groupBy("canonical_id")
+        .agg(F.max_by("canonical_name", F.length("canonical_name"))
+             .alias("title"))
+    )
+    gated_delta = broadcast_if_small(delta)
+    new_titles = (
+        old_titles.join(gated_delta,
+                        old_titles["canonical_id"] == F.col("rep"), "left")
+        .select(F.coalesce("final", F.col("canonical_id")).alias("canonical_id"),
+                "title")
+        .unionByName(batch_titles)
+        .groupBy("canonical_id")
+        .agg(F.max_by("title", F.length("title")).alias("title"))
+        .localCheckpoint()
+    )
+
+    # ---- edges: relabel + fold, one edge-scale pass ------------------------
+    names = new_titles.withColumnRenamed("title", "name")
+    edge_agg = incremental_edge_update(
+        old_edges, canonical_new, relabel_map=delta, names=names,
+    ).localCheckpoint()  # reused by degree + nodes; truncates the lineage
+    # over the about-to-be-swapped old edges table
+    edges_out = add_combined_degree(edge_agg)
+    nodes_out = build_nodes_from_edges(edge_agg, new_titles)
+
+    # ---- blocks state: min is associative ----------------------------------
+    merged_blocks = (
+        old_blocks.unionByName(new_blocks)
+        .groupBy("blk").agg(F.min("rep").alias("rep"))
+    )
+
+    # ---- swap everything in -------------------------------------------------
+    def plain(df, path):
+        df.write.mode("overwrite").parquet(path)
+
+    def vocab(df, path):
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    def bucketed(key):
+        def w(df, path):
+            write_partitioned(
+                df.withColumn("bucket",
+                              F.pmod(F.xxhash64(key), F.lit(16)).cast("int")),
+                path)
+        return w
+
+    _swap_write(new_mapping, os.path.join(out_dir, MAPPING_DIR), plain)
+    _swap_write(merged_blocks, os.path.join(out_dir, BLOCKS_DIR), vocab)
+    _swap_write(new_titles, os.path.join(out_dir, TITLES_DIR), plain)
+    _swap_write(edges_out, os.path.join(out_dir, EDGES_DIR), bucketed("source"))
+    _swap_write(nodes_out, os.path.join(out_dir, NODES_DIR), bucketed("id"))
+    bump_estimate_epoch()
+    return (
+        spark.read.parquet(os.path.join(out_dir, NODES_DIR)).drop("bucket"),
+        spark.read.parquet(os.path.join(out_dir, EDGES_DIR)).drop("bucket"),
+    )

@@ -1,0 +1,95 @@
+"""Incremental KG maintenance plan — folding a triples batch into an
+existing graph-stage output must reproduce the full run_graph_stage
+recompute over the concatenated corpus, table for table."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
+from deep_reason_spark.operators.chunker import chunk_repo_files
+from deep_reason_spark.operators.extractor import extract_triples
+from deep_reason_spark.plans.incremental_kg import (
+    init_incremental_state,
+    run_incremental_kg_update,
+)
+from deep_reason_spark.plans.kg_pipeline import MAPPING_DIR, run_graph_stage
+
+
+def _edge_rows(df):
+    return sorted(
+        (r["id"], r["human_readable_id"], r["source"], r["target"],
+         r["description"], r["weight"], tuple(r["text_unit_ids"]),
+         r["combined_degree"])
+        for r in df.collect()
+    )
+
+
+def _node_rows(df):
+    return sorted(
+        (r["id"], r["title"], r["type"], r["description"], r["frequency"],
+         r["degree"])
+        for r in df.collect()
+    )
+
+
+def _mapping_rows(spark, out_dir):
+    return sorted(
+        (r["entity_id"], r["canonical_id"])
+        for r in spark.read.parquet(os.path.join(out_dir, MAPPING_DIR)).collect()
+    )
+
+
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    alias_dict = alias_dict_df(spark)
+    triples = extract_triples(
+        chunk_repo_files(generate_repo_files(spark, 80))).localCheckpoint()
+    part_a = triples.where(
+        F.pmod(F.xxhash64("document_id"), F.lit(3)) != 0).localCheckpoint()
+    part_b = triples.where(
+        F.pmod(F.xxhash64("document_id"), F.lit(3)) == 0).localCheckpoint()
+    assert part_a.count() > 0 and part_b.count() > 0
+
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    full_nodes, full_edges = run_graph_stage(
+        spark, triples, alias_dict, full_dir)
+
+    run_graph_stage(spark, part_a, alias_dict, inc_dir)
+    init_incremental_state(spark, part_a, alias_dict, inc_dir)
+    inc_nodes, inc_edges = run_incremental_kg_update(
+        spark, part_b, alias_dict, inc_dir)
+
+    assert _mapping_rows(spark, inc_dir) == _mapping_rows(spark, full_dir)
+    assert _edge_rows(inc_edges) == _edge_rows(full_edges)
+    assert _node_rows(inc_nodes) == _node_rows(full_nodes)
+
+
+def test_second_batch_folds_onto_updated_state(spark, tmp_path):
+    """The update is re-appliable: state written by one update round is the
+    input of the next (three waves == one full rebuild)."""
+    alias_dict = alias_dict_df(spark)
+    triples = extract_triples(
+        chunk_repo_files(generate_repo_files(spark, 60))).localCheckpoint()
+    waves = [
+        triples.where(F.pmod(F.xxhash64("document_id"), F.lit(3)) == i)
+        .localCheckpoint()
+        for i in range(3)
+    ]
+
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    full_nodes, full_edges = run_graph_stage(
+        spark, triples, alias_dict, full_dir)
+
+    run_graph_stage(spark, waves[0], alias_dict, inc_dir)
+    init_incremental_state(spark, waves[0], alias_dict, inc_dir)
+    run_incremental_kg_update(spark, waves[1], alias_dict, inc_dir)
+    inc_nodes, inc_edges = run_incremental_kg_update(
+        spark, waves[2], alias_dict, inc_dir)
+
+    assert _mapping_rows(spark, inc_dir) == _mapping_rows(spark, full_dir)
+    assert _edge_rows(inc_edges) == _edge_rows(full_edges)
+    assert _node_rows(inc_nodes) == _node_rows(full_nodes)
