@@ -198,11 +198,16 @@ def apply_relabel(edges: DataFrame, relabel_map: DataFrame,
     return _remerge(_relabel_core(_edge_core(edges), relabel_map), names)
 
 
+_FINISHED_EDGE_COLS = ["id", "human_readable_id", "source", "target",
+                       "description", "weight", "text_unit_ids"]
+
+
 def incremental_edge_update(
     old_edges: DataFrame,
     new_canonical_triples: DataFrame,
     relabel_map: DataFrame | None = None,
     names: DataFrame | None = None,
+    affected_ids: DataFrame | None = None,
 ) -> DataFrame:
     """One-pass incremental maintenance of the edges table: re-key the old
     table by the component-merge relabel (if any), build the new batch's
@@ -212,12 +217,57 @@ def incremental_edge_update(
     triples (the reference re-feeds its whole ``current_graph`` per refine
     round, deep-reason ``kg_agent/chains.py:99-135``). Equals the full
     recompute exactly; pair with ``incremental_components(...,
-    return_delta=True)`` for the relabel map."""
-    core = _edge_core(old_edges)
+    return_delta=True)`` for the relabel map.
+
+    ``affected_ids`` (optional, single-column, batch-scale: every canonical
+    id whose component label or display title may have changed this batch —
+    relabel reps, relabel finals, and all batch entity ids) turns the fold
+    into a ROUTED pass: a stored row is re-aggregated only when its key
+    collides with a batch edge key or an endpoint is affected; every other
+    stored row passes through AS STORED via a broadcast-probed linear scan
+    — no shuffle, no provenance explode, no name re-join on the untouched
+    bulk, which makes the per-batch cost O(batch + affected edge lists +
+    one linear scan) instead of O(full edge-table re-aggregation). Exact:
+    a key absent from the batch and the relabel map aggregates to itself,
+    and its endpoints' titles are unchanged by construction of
+    ``affected_ids``."""
+    fresh = _edge_core(build_edges(new_canonical_triples, names=names))
+    if affected_ids is None:
+        core = _edge_core(old_edges)
+        if relabel_map is not None:
+            core = _relabel_core(core, relabel_map)
+        return _remerge(core.unionByName(fresh), names)
+
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
+
+    # the fresh aggregate feeds the byte-gated key probe AND the remerge —
+    # pin it (batch-edge-scale) so the batch pass runs once, not per gate
+    # estimate (CLAUDE.md: estimate_bytes is an action)
+    fresh = fresh.localCheckpoint()
+    aid = F.col(affected_ids.columns[0])
+    old_f = old_edges.select(*_FINISHED_EDGE_COLS)
+    marked = (
+        old_f
+        .join(broadcast_if_small(affected_ids.select(
+            aid.alias("source"), F.lit(1).alias("_sa")).distinct()),
+            "source", "left")
+        .join(broadcast_if_small(affected_ids.select(
+            aid.alias("target"), F.lit(1).alias("_ta")).distinct()),
+            "target", "left")
+        .join(broadcast_if_small(fresh.select(
+            F.col("src").alias("source"), F.col("dst").alias("target"),
+            F.col("predicate").alias("description"),
+            F.lit(1).alias("_k")).distinct()),
+            ["source", "target", "description"], "left")
+    )
+    is_touched = (F.col("_sa").isNotNull() | F.col("_ta").isNotNull()
+                  | F.col("_k").isNotNull())
+    passthrough = marked.where(~is_touched).select(*_FINISHED_EDGE_COLS)
+    core = _edge_core(marked.where(is_touched).select(*_FINISHED_EDGE_COLS))
     if relabel_map is not None:
         core = _relabel_core(core, relabel_map)
-    fresh = _edge_core(build_edges(new_canonical_triples, names=names))
-    return _remerge(core.unionByName(fresh), names)
+    return passthrough.unionByName(
+        _remerge(core.unionByName(fresh), names))
 
 
 def add_combined_degree(edges: DataFrame) -> DataFrame:

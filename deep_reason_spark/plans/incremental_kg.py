@@ -109,20 +109,27 @@ def init_incremental_state(
     bump_estimate_epoch()
 
 
-def _swap_write(df: DataFrame, path: str, writer) -> None:
-    """Write ``df`` to a staging sibling then atomically swap it in —
-    ``df`` may lazily read the table being replaced, so an in-place
-    overwrite would corrupt its own input."""
+def _stage(df: DataFrame, path: str, writer) -> None:
+    """Write ``df`` to the staging sibling of ``path`` — ``df`` may lazily
+    read the table being replaced, so an in-place overwrite would corrupt
+    its own input; the swap happens later, after EVERY staged write has
+    finished (``_swap_in``)."""
     staging = path + "__staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
     writer(df, staging)
+
+
+def _swap_in(path: str) -> None:
+    """Atomically promote the staged sibling of ``path`` (a cluster
+    deployment uses a transactional table format or the HDFS rename for
+    the same reason)."""
     old = path + "__old"
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(path):
         os.rename(path, old)
-    os.rename(staging, path)
+    os.rename(path + "__staging", path)
     if os.path.exists(old):
         shutil.rmtree(old)
 
@@ -133,12 +140,25 @@ def run_incremental_kg_update(
     alias_dict: DataFrame,
     out_dir: str,
     salt: int = 0,
+    wall_ms: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold ``new_triples`` into the graph-stage tables at ``out_dir``
     (requires ``init_incremental_state`` once beforehand). Updates
     entity_mapping, edges, nodes and the two state tables; returns the
-    refreshed (nodes, edges) readers, matching ``run_graph_stage``."""
+    refreshed (nodes, edges) readers, matching ``run_graph_stage``.
+    ``wall_ms`` (optional dict) receives per-phase laps keyed
+    ``inc.<phase>``, same convention as ``run_graph_stage``."""
+    import time
+
     from deep_reason_spark.sources.checkpoint import write_partitioned
+
+    _last = [time.monotonic()]
+
+    def _lap(name: str) -> None:
+        now = time.monotonic()
+        if wall_ms is not None:
+            wall_ms[f"inc.{name}"] = int((now - _last[0]) * 1000)
+        _last[0] = now
 
     mapping = spark.read.parquet(os.path.join(out_dir, MAPPING_DIR))
     old_blocks = spark.read.parquet(os.path.join(out_dir, BLOCKS_DIR))
@@ -150,6 +170,7 @@ def run_incremental_kg_update(
     sm = build_surface_map(new_triples, alias_dict).localCheckpoint()
     ids, keyed, new_blocks = _ids_blocks_titles(sm)
     keyed = keyed.localCheckpoint()  # batch-scale; feeds edges + block merge
+    _lap("surface_map")
     # similarity edges for the union graph, WITHOUT rescanning old names:
     # a batch id links to its block's stored representative when the block
     # is known, else to the batch-local block minimum (a brand-new block's
@@ -171,6 +192,7 @@ def run_incremental_kg_update(
         sim, salt=salt, return_delta=True,
     )
     delta = delta.localCheckpoint()  # batch-scale; consumed 3×
+    _lap("components")
     # batch ids untouched by any similarity edge (sole member of a new
     # block, or an empty block key) AND unknown to the prior mapping label
     # themselves — exactly the full build's fallback for star-free ids.
@@ -193,6 +215,7 @@ def run_incremental_kg_update(
              F.col("component").alias("canonical_id")).localCheckpoint()
     # (entity-scale pin, same convention as run_graph_stage's mapping: the
     # write, the batch lookup and the title merge all consume it)
+    _lap("mapping")
 
     # ---- canonical ids for the batch's triples (batch-corpus-scale) -------
     batch_canon = new_mapping.join(
@@ -203,6 +226,7 @@ def run_incremental_kg_update(
         .select("surface", "canonical_id")
         .localCheckpoint()
     )
+    _lap("batch_maps")
 
     def side(role, cid):
         return batch_map.select(F.col("surface").alias(role),
@@ -232,13 +256,30 @@ def run_incremental_kg_update(
         .agg(F.max_by("title", F.length("title")).alias("title"))
         .localCheckpoint()
     )
+    _lap("titles")
 
-    # ---- edges: relabel + fold, one edge-scale pass ------------------------
+    # ---- edges: routed relabel + fold ---------------------------------------
+    # affected ids = every canonical id whose label or title can have
+    # changed this batch: relabel reps + finals and all batch entity ids.
+    # With this set, incremental_edge_update passes the untouched stored
+    # bulk through AS STORED (broadcast-probed linear scan) and re-
+    # aggregates only colliding/affected rows — the r5 profile showed the
+    # unrouted full re-aggregation (provenance explode + name re-join over
+    # every historical edge) costing 11.5 s of a 24.5 s update at 11M
+    # triples, i.e. the update degenerating back to O(edge table shuffle).
+    affected = (
+        delta.select(F.col("rep").alias("aid"))
+        .unionByName(delta.select(F.col("final").alias("aid")))
+        .unionByName(batch_canon.select(F.col("canonical_id").alias("aid")))
+        .distinct().localCheckpoint()
+    )
     names = new_titles.withColumnRenamed("title", "name")
     edge_agg = incremental_edge_update(
         old_edges, canonical_new, relabel_map=delta, names=names,
-    ).localCheckpoint()  # reused by degree + nodes; truncates the lineage
-    # over the about-to-be-swapped old edges table
+        affected_ids=affected,
+    ).localCheckpoint()  # one cheap materialization (linear passthrough +
+    # batch-scale remerge); consumed by degree, nodes and the edge write
+    _lap("edge_agg")
     edges_out = add_combined_degree(edge_agg)
     nodes_out = build_nodes_from_edges(edge_agg, new_titles)
 
@@ -248,7 +289,7 @@ def run_incremental_kg_update(
         .groupBy("blk").agg(F.min("rep").alias("rep"))
     )
 
-    # ---- swap everything in -------------------------------------------------
+    # ---- stage every table, then swap all in --------------------------------
     def plain(df, path):
         df.write.mode("overwrite").parquet(path)
 
@@ -263,11 +304,28 @@ def run_incremental_kg_update(
                 path)
         return w
 
-    _swap_write(new_mapping, os.path.join(out_dir, MAPPING_DIR), plain)
-    _swap_write(merged_blocks, os.path.join(out_dir, BLOCKS_DIR), vocab)
-    _swap_write(new_titles, os.path.join(out_dir, TITLES_DIR), plain)
-    _swap_write(edges_out, os.path.join(out_dir, EDGES_DIR), bucketed("source"))
-    _swap_write(nodes_out, os.path.join(out_dir, NODES_DIR), bucketed("id"))
+    # every table is ready (entity/vocab tables pinned or storage-derived,
+    # edges/nodes derive from the pinned edge_agg) — stage all five
+    # CONCURRENTLY, the graph stage's write-wave pattern (job submission
+    # is thread-safe; the r5 profile showed the serial write chain costing
+    # ~7 s of fixed commit latency per update)
+    from concurrent.futures import ThreadPoolExecutor
+
+    wave = [
+        (new_mapping, MAPPING_DIR, plain),
+        (merged_blocks, BLOCKS_DIR, vocab),
+        (new_titles, TITLES_DIR, plain),
+        (edges_out, EDGES_DIR, bucketed("source")),
+        (nodes_out, NODES_DIR, bucketed("id")),
+    ]
+    with ThreadPoolExecutor(max_workers=len(wave)) as side:
+        futs = [side.submit(_stage, df_, os.path.join(out_dir, dir_), w_)
+                for df_, dir_, w_ in wave]
+        for f in futs:
+            f.result()
+    _lap("writes")
+    for dir_ in (MAPPING_DIR, BLOCKS_DIR, TITLES_DIR, EDGES_DIR, NODES_DIR):
+        _swap_in(os.path.join(out_dir, dir_))
     bump_estimate_epoch()
     return (
         spark.read.parquet(os.path.join(out_dir, NODES_DIR)).drop("bucket"),

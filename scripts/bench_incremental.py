@@ -1,0 +1,130 @@
+"""Incremental-vs-full graph refresh benchmark.
+
+Measures the cost of folding a 10% triples batch into an existing
+graph-stage output (``run_incremental_kg_update``) against rebuilding the
+whole graph stage from scratch (``run_graph_stage``), at two corpus sizes —
+the full rebuild scans the whole triples corpus, the incremental update
+only the batch + the edge/entity tables, so the gap must WIDEN with
+corpus size.
+
+Methodology (bench-discipline rules from BASELINE.md):
+- triples are staged to parquet and re-read (input prep, untimed; no
+  corpus-scale localCheckpoint — CLAUDE.md scale discipline);
+- one small UNTIMED warmup pass runs first so leg 1 doesn't carry JVM/
+  codegen warmup (the first recorded attempt showed a 10k full rebuild
+  slower than a 30k one for exactly this reason);
+- loadavg is sampled before each timed leg; compare legs only within a
+  quiet window.
+
+Usage: python scripts/bench_incremental.py [n_files ...]  (default
+30000 300000). Prints one JSON line per corpus size and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sizes = [int(a) for a in sys.argv[1:]] or [30_000, 300_000]
+    from pyspark.sql import functions as F
+
+    from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
+    from deep_reason_spark.operators.chunker import chunk_repo_files
+    from deep_reason_spark.operators.extractor import extract_triples
+    from deep_reason_spark.plans.incremental_kg import (
+        init_incremental_state,
+        run_incremental_kg_update,
+    )
+    from deep_reason_spark.plans.kg_pipeline import run_graph_stage
+    from deep_reason_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench-incremental", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    alias_dict = alias_dict_df(spark)
+
+    def stage_triples(work: str, n: int):
+        """Extract once, stage base (90%) and batch (10%) to SEPARATE
+        parquet dirs — an update batch arrives as its own table in a real
+        deployment; deriving it by a (non-pushdown) hash filter over the
+        full corpus would charge every batch-side scan a corpus-wide read
+        and taint the incremental timing. Returns (triples, base, batch)."""
+        extract_triples(
+            chunk_repo_files(generate_repo_files(spark, n))
+        ).write.parquet(os.path.join(work, "triples"))
+        full = spark.read.parquet(os.path.join(work, "triples"))
+        is_batch = F.pmod(F.xxhash64("document_id"), F.lit(10)) == 0
+        full.where(~is_batch).write.parquet(os.path.join(work, "base"))
+        full.where(is_batch).write.parquet(os.path.join(work, "batch"))
+        base = spark.read.parquet(os.path.join(work, "base"))
+        batch = spark.read.parquet(os.path.join(work, "batch"))
+        return base.unionByName(batch), base, batch
+
+    # untimed warmup: full stage + one incremental update at toy scale
+    warm = tempfile.mkdtemp(prefix="bench_inc_warm_")
+    try:
+        triples, base, batch = stage_triples(warm, 2_000)
+        run_graph_stage(spark, base, alias_dict, os.path.join(warm, "g"))
+        init_incremental_state(spark, base, alias_dict, os.path.join(warm, "g"))
+        run_incremental_kg_update(spark, batch, alias_dict,
+                                  os.path.join(warm, "g"))
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+
+    rows = []
+    for n in sizes:
+        work = tempfile.mkdtemp(prefix="bench_inc_")
+        try:
+            triples, base, batch = stage_triples(work, n)
+            n_triples, n_batch = triples.count(), batch.count()
+
+            # full rebuild over the whole corpus (what a deployment without
+            # incremental maintenance pays per refresh)
+            load_full = [round(x, 2) for x in os.getloadavg()]
+            t0 = time.monotonic()
+            run_graph_stage(spark, triples, alias_dict,
+                            os.path.join(work, "full"))
+            t_full = time.monotonic() - t0
+            # prior state: full build over the base 90% + one state pass
+            run_graph_stage(spark, base, alias_dict, os.path.join(work, "inc"))
+            init_incremental_state(spark, base, alias_dict,
+                                   os.path.join(work, "inc"))
+            load_inc = [round(x, 2) for x in os.getloadavg()]
+            laps: dict = {}
+            t0 = time.monotonic()
+            run_incremental_kg_update(spark, batch, alias_dict,
+                                      os.path.join(work, "inc"),
+                                      wall_ms=laps)
+            t_inc = time.monotonic() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        row = {
+            "n_files": n, "n_triples": n_triples, "batch_triples": n_batch,
+            "full_rebuild_sec": round(t_full, 2),
+            "incremental_sec": round(t_inc, 2),
+            "speedup": round(t_full / t_inc, 2),
+            "loadavg_before_full": load_full,
+            "loadavg_before_incremental": load_inc,
+            "incremental_wall_ms": laps,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({
+        "metric": "incremental refresh speedup vs full rebuild",
+        "rows": rows,
+        "gap_widens": len(rows) < 2 or rows[-1]["speedup"] > rows[0]["speedup"],
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -121,6 +121,36 @@ def test_incremental_update_composes_with_cc_delta(spark):
     assert _rows(got) == _rows(want)
 
 
+def test_routed_update_equals_full_recompute(spark):
+    """``affected_ids`` routing: the untouched stored bulk passes through
+    AS STORED while batch-colliding / title-affected rows re-aggregate —
+    the result must equal the full ``build_edges`` recompute over every
+    triple, including ``human_readable_id`` re-rendering for entities whose
+    max-by-length title changed when the batch added a longer surface."""
+    triples = extract_triples(chunk_repo_files(generate_repo_files(spark, 60)))
+    linked = link_triples(triples, alias_dict_df(spark))
+    canonical = (
+        linked.withColumn("src", F.col("subject_id"))
+        .withColumn("dst", F.col("object_id"))
+    ).localCheckpoint()
+    is_batch = F.pmod(F.xxhash64("document_id"), F.lit(10)) == 0
+    base = canonical.where(~is_batch).localCheckpoint()
+    batch = canonical.where(is_batch).localCheckpoint()
+    # stored edges render with the titles known at base time; the update
+    # passes the refreshed full-corpus titles (the plan's new_titles)
+    old = build_edges(base, names=_names_of(base)).localCheckpoint()
+    full_names = _names_of(canonical)
+    affected = (
+        batch.select(F.col("src").alias("aid"))
+        .unionByName(batch.select(F.col("dst").alias("aid")))
+        .distinct().localCheckpoint()
+    )
+    got = incremental_edge_update(
+        old, batch, names=full_names, affected_ids=affected)
+    want = build_edges(canonical, names=full_names)
+    assert _rows(got) == _rows(want)
+
+
 def test_node_tables_ride_the_merged_edges(spark):
     """Closes the incremental loop for the NODES table: degree is not
     associative from per-batch node aggregates, but build_nodes_from_edges
