@@ -160,6 +160,95 @@ def run_triples_stage(
     return spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
 
 
+def build_community_tables(
+    edge_agg: DataFrame,
+    min_weight: int = 2,
+    max_degree: int = 64,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(communities, community_reports) from a pinned edge aggregate — the
+    single implementation behind the full graph stage AND the incremental
+    refresh. One undirected pair per entity pair: edge_agg is keyed per
+    PREDICATE and per DIRECTION, and pruning per slice would split a pair
+    whose aggregate weight clears min_weight (r3 review finding for
+    predicates; ADVICE r3 for reciprocal a→b / b→a edges, which also
+    double-counted in community_reports' internal-degree rollup). The pair
+    aggregation is pinned: consumed by the prune subplan AND the all-nodes
+    set — without the pin its shuffle runs twice (entity-pair scale, same
+    as the already-pinned edge_agg)."""
+    from deep_reason_spark.operators.communities import (
+        community_reports as _community_reports,
+    )
+    from deep_reason_spark.operators.communities import (
+        detect_communities,
+        pack_communities,
+        prune_edges,
+    )
+    comm_edges = edge_agg.groupBy(
+        F.least("source", "target").alias("src"),
+        F.greatest("source", "target").alias("dst"),
+    ).agg(F.sum("weight").cast("bigint").alias("weight")).localCheckpoint()
+    kept_edges = prune_edges(
+        comm_edges, weight_col="weight",
+        min_weight=min_weight, max_degree=max_degree,
+    ).localCheckpoint()
+    all_ents = (comm_edges.select(F.col("src").alias("node"))
+                .union(comm_edges.select(F.col("dst").alias("node")))
+                .distinct())
+    comm_asg = detect_communities(
+        kept_edges, all_nodes=all_ents, weight_col="weight", salt=salt,
+    ).localCheckpoint()
+    return pack_communities(comm_asg), _community_reports(comm_asg, kept_edges)
+
+
+def kg_nodes_table(nodes: DataFrame) -> DataFrame:
+    """kg_nodes (KgStructure sink, S7) — a projection of the nodes table,
+    never a corpus rescan."""
+    return nodes.select(
+        F.col("id").alias("node_id"), F.col("title").alias("entity_name"),
+        F.concat(F.lit("class:"), F.col("type")).alias("ontology_node_id"),
+    )
+
+
+def kg_triplets_table(edge_pairs: DataFrame, ctypes: DataFrame,
+                      orels: DataFrame) -> DataFrame:
+    """kg_triplets (KgStructure sink, S7) — instance triplets keyed by the
+    ontology connection, derived from the EDGE-scale pair table + the
+    vocabulary-scale relation registry (never a corpus rescan)."""
+    return (
+        attach_types(edge_pairs, ctypes)
+        .join(F.broadcast(orels),
+              F.col("predicate") == F.col("relation_name"))
+        .select(
+            F.col("subject_id").alias("kg_subject_id"),
+            F.col("object_id").alias("kg_object_id"),
+            F.concat_ws(
+                "|", F.concat(F.lit("class:"), F.col("subject_type")),
+                F.col("relation_id").cast("string"),
+                F.concat(F.lit("class:"), F.col("object_type")),
+            ).alias("ontology_nodes_connection_id"),
+        )
+        .distinct()
+    )
+
+
+def canonical_entity_types(
+    spark: SparkSession,
+    mapping: DataFrame,
+    entity_types: DataFrame | None,
+) -> DataFrame:
+    """(canonical_id, type) from an optional (entity_id, type) source via
+    the canonical mapping; the empty-source path short-circuits (no
+    join/groupBy/checkpoint jobs over an empty frame)."""
+    if entity_types is None:
+        return spark.createDataFrame([], "canonical_id string, type string")
+    return mapping.join(
+        broadcast_if_small(entity_types), "entity_id", "left"
+    ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
+        F.col("type").isNotNull()
+    ).localCheckpoint()
+
+
 def run_graph_stage(
     spark: SparkSession,
     triples: DataFrame,
@@ -249,37 +338,9 @@ def run_graph_stage(
     # stage is fixed-latency-bound at this layer, so the overlap absorbs
     # most of the CC's round latency)
     def _build_communities():
-        from deep_reason_spark.operators.communities import (
-            community_reports as _community_reports,
-        )
-        from deep_reason_spark.operators.communities import (
-            detect_communities,
-            pack_communities,
-            prune_edges,
-        )
-        # one undirected pair per entity pair: edge_agg is keyed per
-        # PREDICATE and per DIRECTION, and pruning per slice would split a
-        # pair whose aggregate weight clears min_weight (r3 review finding
-        # for predicates; ADVICE r3 for reciprocal a→b / b→a edges, which
-        # also double-counted in community_reports' internal-degree rollup)
-        # pinned: consumed by the prune subplan AND the all-nodes set —
-        # without the pin the pair aggregation shuffle runs twice (same
-        # entity-pair scale as the already-pinned edge_agg)
-        comm_edges = edge_agg.groupBy(
-            F.least("source", "target").alias("src"),
-            F.greatest("source", "target").alias("dst"),
-        ).agg(F.sum("weight").cast("bigint").alias("weight")).localCheckpoint()
-        kept_edges = prune_edges(
-            comm_edges, weight_col="weight",
-            min_weight=community_min_weight, max_degree=community_max_degree,
-        ).localCheckpoint()
-        all_ents = (comm_edges.select(F.col("src").alias("node"))
-                    .union(comm_edges.select(F.col("dst").alias("node")))
-                    .distinct())
-        comm_asg = detect_communities(
-            kept_edges, all_nodes=all_ents, weight_col="weight", salt=salt,
-        ).localCheckpoint()
-        return pack_communities(comm_asg), _community_reports(comm_asg, kept_edges)
+        return build_community_tables(
+            edge_agg, min_weight=community_min_weight,
+            max_degree=community_max_degree, salt=salt)
 
     # daemon thread (an abandoned CC must never block interpreter exit if
     # a later stage raises) in its own FAIR scheduler pool — pools are
@@ -311,18 +372,7 @@ def run_graph_stage(
     # classes, relations, connections and instance triplets are all
     # derivable from the aggregated edge table + the entity-type map —
     # re-deriving them from raw triples would rescan the corpus 3×.
-    if entity_types is None:
-        # no type source → the join/groupBy would only produce an empty
-        # frame; skip the two jobs + checkpoint it would cost (the graph
-        # stage is fixed-latency-bound, not data-bound, at this layer)
-        canonical_types = spark.createDataFrame(
-            [], "canonical_id string, type string")
-    else:
-        canonical_types = mapping.join(
-            broadcast_if_small(entity_types), "entity_id", "left"
-        ).groupBy(F.col("canonical_id")).agg(F.min("type").alias("type")).where(
-            F.col("type").isNotNull()
-        ).localCheckpoint()
+    canonical_types = canonical_entity_types(spark, mapping, entity_types)
 
     ctypes = canonical_types.withColumnRenamed("canonical_id", "entity_id")
     edge_pairs = edge_agg.select(
@@ -360,28 +410,10 @@ def run_graph_stage(
 
     # kg_nodes is a projection of the nodes table (no corpus rescan)
     def _kg_nodes() -> DataFrame:
-        return fut_nodes.result().select(
-            F.col("id").alias("node_id"), F.col("title").alias("entity_name"),
-            F.concat(F.lit("class:"), F.col("type")).alias("ontology_node_id"),
-        )
+        return kg_nodes_table(fut_nodes.result())
 
     def _kg_triplets() -> DataFrame:
-        orels = fut_onto.result()[1]
-        return (
-            attach_types(edge_pairs, ctypes)
-            .join(F.broadcast(orels),
-                  F.col("predicate") == F.col("relation_name"))
-            .select(
-                F.col("subject_id").alias("kg_subject_id"),
-                F.col("object_id").alias("kg_object_id"),
-                F.concat_ws(
-                    "|", F.concat(F.lit("class:"), F.col("subject_type")),
-                    F.col("relation_id").cast("string"),
-                    F.concat(F.lit("class:"), F.col("object_type")),
-                ).alias("ontology_nodes_connection_id"),
-            )
-            .distinct()
-        )
+        return kg_triplets_table(edge_pairs, ctypes, fut_onto.result()[1])
 
     # The 10 output tables are independent given their checkpointed inputs;
     # submitting the writes CONCURRENTLY overlaps their fixed job-scheduling
