@@ -29,11 +29,14 @@ titles), so each updated table equals the full ``run_graph_stage``
 recompute over the concatenated corpus — ``test_incremental_kg.py`` pins
 that equivalence end-to-end.
 
-Derived vocabulary/edge-scale tables (ontology_*, communities,
-community_reports, kg_nodes, kg_triplets) are NOT maintained here: they
-derive from the updated edge aggregate + titles at edge scale, so a
-deployment refreshes them by re-running their builders — cheap relative
-to the corpus pass this plan avoids.
+The derived tables (ontology_*, communities, community_reports, kg_nodes,
+kg_triplets) are refreshed by re-running the SAME builders the full stage
+uses (``kg_pipeline.build_community_tables`` / ``kg_nodes_table`` /
+``kg_triplets_table`` / ``build_ontology``) over the updated edge
+aggregate + titles — edge-scale work, cheap relative to the corpus pass
+this plan avoids, and table-for-table identical to a full rebuild because
+the builders are shared, not copied. One update call therefore refreshes
+EVERY table ``run_graph_stage`` writes (``GRAPH_TABLE_DIRS``).
 
 Storage protocol: updated tables are written to a staging dir and swapped
 in with an atomic directory rename (the lazily-read old table must never
@@ -64,7 +67,23 @@ from deep_reason_spark.operators.graph import (
     incremental_edge_update,
 )
 from deep_reason_spark.operators.linking import build_surface_map
-from deep_reason_spark.plans.kg_pipeline import EDGES_DIR, MAPPING_DIR, NODES_DIR
+from deep_reason_spark.operators.ontology import build_ontology
+from deep_reason_spark.plans.kg_pipeline import (
+    COMMUNITIES_DIR,
+    COMMUNITY_REPORTS_DIR,
+    EDGES_DIR,
+    KG_NODES_DIR,
+    KG_TRIPLETS_DIR,
+    MAPPING_DIR,
+    NODES_DIR,
+    ONTOLOGY_CONNECTIONS_DIR,
+    ONTOLOGY_NODES_DIR,
+    ONTOLOGY_RELATIONS_DIR,
+    build_community_tables,
+    canonical_entity_types,
+    kg_nodes_table,
+    kg_triplets_table,
+)
 
 BLOCKS_DIR = "entity_blocks"
 TITLES_DIR = "entity_titles"
@@ -140,14 +159,19 @@ def run_incremental_kg_update(
     alias_dict: DataFrame,
     out_dir: str,
     salt: int = 0,
+    entity_types: DataFrame | None = None,
+    community_min_weight: int = 2,
+    community_max_degree: int = 64,
     wall_ms: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold ``new_triples`` into the graph-stage tables at ``out_dir``
-    (requires ``init_incremental_state`` once beforehand). Updates
-    entity_mapping, edges, nodes and the two state tables; returns the
+    (requires ``init_incremental_state`` once beforehand). Refreshes ALL
+    ten ``run_graph_stage`` tables plus the two state tables; returns the
     refreshed (nodes, edges) readers, matching ``run_graph_stage``.
-    ``wall_ms`` (optional dict) receives per-phase laps keyed
-    ``inc.<phase>``, same convention as ``run_graph_stage``."""
+    ``entity_types`` / ``community_*`` mirror the full stage's knobs and
+    must be passed the same values the initial build used, or the derived
+    tables diverge from a full rebuild by design. ``wall_ms`` (optional
+    dict) receives per-phase laps keyed ``inc.<phase>``."""
     import time
 
     from deep_reason_spark.sources.checkpoint import write_partitioned
@@ -281,7 +305,45 @@ def run_incremental_kg_update(
     # batch-scale remerge); consumed by degree, nodes and the edge write
     _lap("edge_agg")
     edges_out = add_combined_degree(edge_agg)
-    nodes_out = build_nodes_from_edges(edge_agg, new_titles)
+
+    # ---- derived tables: SHARED builders over the pinned edge_agg ----------
+    # communities / ontology / KgStructure / nodes all derive from the
+    # updated edge aggregate + titles + types at EDGE scale — never a
+    # corpus rescan — via the exact builder functions run_graph_stage
+    # writes with, so each refreshed table equals its full-rebuild twin.
+    # Like the full stage, the three builds overlap in their own FAIR
+    # scheduler pools (the update is fixed-latency-bound at this layer;
+    # jobs within one pool are FIFO, pools are fair against each other).
+    canonical_types = canonical_entity_types(spark, new_mapping, entity_types)
+    ctypes = canonical_types.withColumnRenamed("canonical_id", "entity_id")
+    edge_pairs = edge_agg.select(
+        F.col("source").alias("subject_id"),
+        F.col("target").alias("object_id"),
+        F.col("description").alias("predicate"),
+    )
+
+    def _pooled(pool: str, fn):
+        def run():
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+            return fn()
+        return run
+
+    def _onto_cp():
+        onodes_, orels_, oconns_ = build_ontology(edge_pairs, ctypes)
+        return onodes_, orels_.localCheckpoint(), oconns_
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    build_pool = ThreadPoolExecutor(max_workers=3)
+    fut_comm = build_pool.submit(_pooled("cc", lambda: build_community_tables(
+        edge_agg, min_weight=community_min_weight,
+        max_degree=community_max_degree, salt=salt)))
+    fut_onto = build_pool.submit(_pooled("ontology", _onto_cp))
+    fut_nodes = build_pool.submit(_pooled("nodes", lambda: (
+        build_nodes_from_edges(edge_agg, new_titles,
+                               entity_types=canonical_types)
+        .localCheckpoint())))
+    _lap("builds")
 
     # ---- blocks state: min is associative ----------------------------------
     merged_blocks = (
@@ -304,27 +366,49 @@ def run_incremental_kg_update(
                 path)
         return w
 
-    # every table is ready (entity/vocab tables pinned or storage-derived,
-    # edges/nodes derive from the pinned edge_agg) — stage all five
-    # CONCURRENTLY, the graph stage's write-wave pattern (job submission
-    # is thread-safe; the r5 profile showed the serial write chain costing
-    # ~7 s of fixed commit latency per update)
-    from concurrent.futures import ThreadPoolExecutor
-
+    # every table is ready or riding a build future — stage all twelve
+    # CONCURRENTLY, the graph stage's write-wave pattern (job submission is
+    # thread-safe; the r5 profile showed a serial write chain costing ~7 s
+    # of fixed commit latency per update). Thunks, not frames: the
+    # independent writes (mapping, blocks, titles, edges) start immediately
+    # while the build futures resolve under the wave.
     wave = [
-        (new_mapping, MAPPING_DIR, plain),
-        (merged_blocks, BLOCKS_DIR, vocab),
-        (new_titles, TITLES_DIR, plain),
-        (edges_out, EDGES_DIR, bucketed("source")),
-        (nodes_out, NODES_DIR, bucketed("id")),
+        (lambda: new_mapping, MAPPING_DIR, plain),
+        (lambda: merged_blocks, BLOCKS_DIR, vocab),
+        (lambda: new_titles, TITLES_DIR, plain),
+        (lambda: edges_out, EDGES_DIR, bucketed("source")),
+        (lambda: fut_nodes.result(), NODES_DIR, bucketed("id")),
+        (lambda: fut_onto.result()[0], ONTOLOGY_NODES_DIR, vocab),
+        (lambda: fut_onto.result()[1], ONTOLOGY_RELATIONS_DIR, vocab),
+        (lambda: fut_onto.result()[2], ONTOLOGY_CONNECTIONS_DIR, vocab),
+        (lambda: kg_nodes_table(fut_nodes.result()), KG_NODES_DIR, plain),
+        (lambda: kg_triplets_table(edge_pairs, ctypes, fut_onto.result()[1]),
+         KG_TRIPLETS_DIR, plain),
+        (lambda: fut_comm.result()[0], COMMUNITIES_DIR, plain),
+        (lambda: fut_comm.result()[1], COMMUNITY_REPORTS_DIR, plain),
     ]
-    with ThreadPoolExecutor(max_workers=len(wave)) as side:
-        futs = [side.submit(_stage, df_, os.path.join(out_dir, dir_), w_)
-                for df_, dir_, w_ in wave]
-        for f in futs:
-            f.result()
+    swap_dirs = [dir_ for _t, dir_, _w in wave]
+    try:
+        with ThreadPoolExecutor(max_workers=len(wave)) as side:
+            futs = [
+                side.submit(
+                    lambda t=thunk, p=os.path.join(out_dir, dir_), w=w_:
+                    _stage(t(), p, w))
+                for thunk, dir_, w_ in wave
+            ]
+            for f in futs:
+                f.result()
+    except BaseException:
+        # a failed staging write must not leave build threads running
+        # Spark jobs after this function has raised (same contract as
+        # run_graph_stage, ADVICE r4) — and no table is swapped in, so
+        # the stored graph stays the pre-update state
+        build_pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    else:
+        build_pool.shutdown(wait=False)
     _lap("writes")
-    for dir_ in (MAPPING_DIR, BLOCKS_DIR, TITLES_DIR, EDGES_DIR, NODES_DIR):
+    for dir_ in swap_dirs:
         _swap_in(os.path.join(out_dir, dir_))
     bump_estimate_epoch()
     return (

@@ -53,6 +53,20 @@ TRIPLES_DIR = "triples"
 NODES_DIR = "nodes"
 EDGES_DIR = "edges"
 MAPPING_DIR = "entity_mapping"
+ONTOLOGY_NODES_DIR = "ontology_nodes"
+ONTOLOGY_RELATIONS_DIR = "ontology_relations"
+ONTOLOGY_CONNECTIONS_DIR = "ontology_connections"
+KG_NODES_DIR = "kg_nodes"
+KG_TRIPLETS_DIR = "kg_triplets"
+COMMUNITIES_DIR = "communities"
+COMMUNITY_REPORTS_DIR = "community_reports"
+# every table run_graph_stage materializes under out_dir — the incremental
+# refresh plan (plans/incremental_kg.py) must update this exact set
+GRAPH_TABLE_DIRS = (
+    MAPPING_DIR, NODES_DIR, EDGES_DIR,
+    ONTOLOGY_NODES_DIR, ONTOLOGY_RELATIONS_DIR, ONTOLOGY_CONNECTIONS_DIR,
+    KG_NODES_DIR, KG_TRIPLETS_DIR, COMMUNITIES_DIR, COMMUNITY_REPORTS_DIR,
+)
 
 # byte-gated broadcast guard — shared engine-wide (functions/broadcast.py);
 # the function names are re-exported for existing call sites and tests, but
@@ -432,18 +446,19 @@ def run_graph_stage(
             os.path.join(out_dir, name))
 
     jobs = [
-        ("ontology_nodes",
-         lambda: _write_vocab("ontology_nodes", fut_onto.result()[0])),
-        ("ontology_relations",
-         lambda: _write_vocab("ontology_relations", fut_onto.result()[1])),
-        ("ontology_connections",
-         lambda: _write_vocab("ontology_connections", fut_onto.result()[2])),
-        ("kg_nodes", lambda: _write_plain("kg_nodes", _kg_nodes())),
-        ("kg_triplets", lambda: _write_plain("kg_triplets", _kg_triplets())),
-        ("communities",
-         lambda: _write_plain("communities", _comm_tables()[0])),
-        ("community_reports",
-         lambda: _write_plain("community_reports", _comm_tables()[1])),
+        (ONTOLOGY_NODES_DIR,
+         lambda: _write_vocab(ONTOLOGY_NODES_DIR, fut_onto.result()[0])),
+        (ONTOLOGY_RELATIONS_DIR,
+         lambda: _write_vocab(ONTOLOGY_RELATIONS_DIR, fut_onto.result()[1])),
+        (ONTOLOGY_CONNECTIONS_DIR,
+         lambda: _write_vocab(ONTOLOGY_CONNECTIONS_DIR, fut_onto.result()[2])),
+        (KG_NODES_DIR, lambda: _write_plain(KG_NODES_DIR, _kg_nodes())),
+        (KG_TRIPLETS_DIR,
+         lambda: _write_plain(KG_TRIPLETS_DIR, _kg_triplets())),
+        (COMMUNITIES_DIR,
+         lambda: _write_plain(COMMUNITIES_DIR, _comm_tables()[0])),
+        (COMMUNITY_REPORTS_DIR,
+         lambda: _write_plain(COMMUNITY_REPORTS_DIR, _comm_tables()[1])),
         (MAPPING_DIR, lambda: _write_plain(MAPPING_DIR, mapping)),
         (NODES_DIR, lambda: write_partitioned(
             fut_nodes.result().withColumn(

@@ -1,6 +1,7 @@
 """Incremental KG maintenance plan — folding a triples batch into an
 existing graph-stage output must reproduce the full run_graph_stage
-recompute over the concatenated corpus, table for table."""
+recompute over the concatenated corpus, table for table, for EVERY table
+the stage writes (GRAPH_TABLE_DIRS)."""
 
 from __future__ import annotations
 
@@ -15,7 +16,28 @@ from deep_reason_spark.plans.incremental_kg import (
     init_incremental_state,
     run_incremental_kg_update,
 )
-from deep_reason_spark.plans.kg_pipeline import MAPPING_DIR, run_graph_stage
+from deep_reason_spark.plans.kg_pipeline import (
+    GRAPH_TABLE_DIRS,
+    run_graph_stage,
+)
+
+
+def _norm(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def _table_rows(spark, out_dir, name):
+    """Sorted row tuples of a stored table, column-order-independent and
+    ignoring the physical ``bucket`` layout column."""
+    df = spark.read.parquet(os.path.join(out_dir, name))
+    cols = sorted(c for c in df.columns if c != "bucket")
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+
+
+def _assert_all_tables_equal(spark, inc_dir, full_dir):
+    for name in GRAPH_TABLE_DIRS:
+        assert _table_rows(spark, inc_dir, name) == _table_rows(
+            spark, full_dir, name), f"table {name} diverged from full rebuild"
 
 
 def _edge_rows(df):
@@ -32,13 +54,6 @@ def _node_rows(df):
         (r["id"], r["title"], r["type"], r["description"], r["frequency"],
          r["degree"])
         for r in df.collect()
-    )
-
-
-def _mapping_rows(spark, out_dir):
-    return sorted(
-        (r["entity_id"], r["canonical_id"])
-        for r in spark.read.parquet(os.path.join(out_dir, MAPPING_DIR)).collect()
     )
 
 
@@ -62,14 +77,17 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
     inc_nodes, inc_edges = run_incremental_kg_update(
         spark, part_b, alias_dict, inc_dir)
 
-    assert _mapping_rows(spark, inc_dir) == _mapping_rows(spark, full_dir)
+    # the returned readers match the stage contract...
     assert _edge_rows(inc_edges) == _edge_rows(full_edges)
     assert _node_rows(inc_nodes) == _node_rows(full_nodes)
+    # ...and EVERY stored table equals its full-rebuild twin
+    _assert_all_tables_equal(spark, inc_dir, full_dir)
 
 
 def test_second_batch_folds_onto_updated_state(spark, tmp_path):
     """The update is re-appliable: state written by one update round is the
-    input of the next (three waves == one full rebuild)."""
+    input of the next (three waves == one full rebuild), across all ten
+    stage tables."""
     alias_dict = alias_dict_df(spark)
     triples = extract_triples(
         chunk_repo_files(generate_repo_files(spark, 60))).localCheckpoint()
@@ -81,15 +99,11 @@ def test_second_batch_folds_onto_updated_state(spark, tmp_path):
 
     full_dir = str(tmp_path / "full")
     inc_dir = str(tmp_path / "inc")
-    full_nodes, full_edges = run_graph_stage(
-        spark, triples, alias_dict, full_dir)
+    run_graph_stage(spark, triples, alias_dict, full_dir)
 
     run_graph_stage(spark, waves[0], alias_dict, inc_dir)
     init_incremental_state(spark, waves[0], alias_dict, inc_dir)
     run_incremental_kg_update(spark, waves[1], alias_dict, inc_dir)
-    inc_nodes, inc_edges = run_incremental_kg_update(
-        spark, waves[2], alias_dict, inc_dir)
+    run_incremental_kg_update(spark, waves[2], alias_dict, inc_dir)
 
-    assert _mapping_rows(spark, inc_dir) == _mapping_rows(spark, full_dir)
-    assert _edge_rows(inc_edges) == _edge_rows(full_edges)
-    assert _node_rows(inc_nodes) == _node_rows(full_nodes)
+    _assert_all_tables_equal(spark, inc_dir, full_dir)
