@@ -84,6 +84,53 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
     _assert_all_tables_equal(spark, inc_dir, full_dir)
 
 
+def test_failed_staging_write_leaves_stored_graph_untouched(
+        spark, tmp_path, monkeypatch):
+    """The update stages every table then swaps all in: a write failure
+    mid-wave must leave the stored graph at the PRE-update state (no
+    partial swap) and raise the original error."""
+    import deep_reason_spark.plans.incremental_kg as inc
+
+    alias_dict = alias_dict_df(spark)
+    triples = extract_triples(
+        chunk_repo_files(generate_repo_files(spark, 40))).localCheckpoint()
+    part_a = triples.where(
+        F.pmod(F.xxhash64("document_id"), F.lit(3)) != 0).localCheckpoint()
+    part_b = triples.where(
+        F.pmod(F.xxhash64("document_id"), F.lit(3)) == 0).localCheckpoint()
+
+    out = str(tmp_path / "g")
+    run_graph_stage(spark, part_a, alias_dict, out)
+    init_incremental_state(spark, part_a, alias_dict, out)
+    before = {n: _table_rows(spark, out, n) for n in GRAPH_TABLE_DIRS}
+
+    real_stage = inc._stage
+    calls = {"n": 0}
+
+    def failing_stage(df, path, writer):
+        calls["n"] += 1
+        if os.path.basename(path.rstrip("/")) == "communities":
+            raise RuntimeError("disk full (injected)")
+        return real_stage(df, path, writer)
+
+    monkeypatch.setattr(inc, "_stage", failing_stage)
+    try:
+        run_incremental_kg_update(spark, part_b, alias_dict, out)
+        raise AssertionError("expected the injected write failure to raise")
+    except RuntimeError as exc:
+        assert "injected" in str(exc)
+    monkeypatch.setattr(inc, "_stage", real_stage)
+
+    assert calls["n"] > 1  # the wave genuinely ran past the failing table
+    after = {n: _table_rows(spark, out, n) for n in GRAPH_TABLE_DIRS}
+    assert after == before
+    # and the update is still appliable afterwards (state not corrupted)
+    run_incremental_kg_update(spark, part_b, alias_dict, out)
+    full_dir = str(tmp_path / "full")
+    run_graph_stage(spark, triples, alias_dict, full_dir)
+    _assert_all_tables_equal(spark, out, full_dir)
+
+
 def test_second_batch_folds_onto_updated_state(spark, tmp_path):
     """The update is re-appliable: state written by one update round is the
     input of the next (three waves == one full rebuild), across all ten
