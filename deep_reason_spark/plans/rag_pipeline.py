@@ -159,6 +159,39 @@ def build_ivf_index(embeddings: DataFrame,
     return cells, cents
 
 
+def append_ivf_index(new_embeddings: DataFrame, cents: DataFrame,
+                     index_dir: str) -> DataFrame:
+    """Incremental IVF maintenance — fold a batch of NEW vectors into the
+    stored cell-partitioned index table (the ``index_dir`` shape of
+    :func:`build_ivf_index`) with ZERO rescans of already-indexed vectors.
+
+    Standard IVF append semantics: the coarse centroids stay FIXED (the
+    reference likewise streams new embedded chunks into the EXISTING ES
+    dense_vector index — ``rag/upload.py:26-70`` ``aupload_docs`` bulk-
+    appends against ``create_index_if_not_exists``; re-training centroids
+    is a rebuild, not an append), so assigning ONLY
+    the batch to the stored ``cents`` and appending those rows is exactly
+    the assignment a full rebuild over the concatenated corpus would
+    produce — per-row nearest-centroid is independent across vectors.
+    ``tests/test_rag_pipeline.py`` pins both equalities: table == full
+    rebuild under the same centroids, and base parquet files untouched
+    (append adds files; the indexed bulk is never read or rewritten).
+
+    The batch-scale assignment reuses the shared exact-decimal
+    ``cosine_topk`` via ``assign_topics``, so appended rows rank
+    identically to build-time rows. Returns the refreshed index reader."""
+    from deep_reason_spark.functions.broadcast import bump_estimate_epoch
+    from deep_reason_spark.operators.topics import assign_topics
+
+    new_cells = assign_topics(new_embeddings, cents).select(
+        F.col("vec_id").alias("doc_id"), F.col("topic").alias("cell"))
+    new_cells.write.mode("append").partitionBy("cell").parquet(index_dir)
+    # the index table mutated behind any plan-identical reader: invalidate
+    # memoized byte estimates (CLAUDE.md epoch rule — storage writers bump)
+    bump_estimate_epoch()
+    return new_embeddings.sparkSession.read.parquet(index_dir)
+
+
 def ivf_candidates(probes_ex: DataFrame, cells: DataFrame, cents: DataFrame,
                    probe_ids: list[str], nprobe: int = NPROBE) -> DataFrame:
     """Rank each probe vector against the coarse centroids (shared

@@ -319,6 +319,59 @@ FROM ranked WHERE rank <= {_V6_K}
 
 
 # ---------------------------------------------------------------------------
+# V7 — incremental IVF index append: already-indexed vectors keep their
+# stored cell assignment; a NEW batch is assigned against the SAME fixed
+# coarse centroids (built from the indexed corpus only) and unioned in —
+# the dataflow append_ivf_index() writes (plans/rag_pipeline.py; the
+# filesystem append + untouched-base-files invariant is pinned in
+# test_rag_pipeline.py). The result equals a full rebuild under the same
+# centroids because nearest-centroid assignment is per-row independent —
+# the oracle replays exactly that rebuild: base-seeded centroids, one
+# shared-machinery assignment over the whole corpus.
+# ---------------------------------------------------------------------------
+
+def q_v7_ivf_append(spark, sf_dir):
+    from deep_reason_spark.operators.topics import (
+        assign_topics,
+        seeded_centroids,
+    )
+    e = load(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 4 != 0)
+    batch = e.where(F.col("vec_id") % 4 == 0)
+    # centroids are FIXED at index-build time (query-scale k×d frame; pinned
+    # once, both assignment passes reuse it — same convention as
+    # build_ivf_index)
+    cents = seeded_centroids(base).localCheckpoint()
+    stored = assign_topics(base, cents)     # what the stored index holds
+    appended = assign_topics(batch, cents)  # the batch-scale append pass
+    return stored.unionByName(appended).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("topic").cast("int").alias("cell"),
+        "cos",
+    )
+
+
+def _oracle_v7() -> str:
+    from deep_reason_spark.functions.cosine import cosine_topk_sql
+    from deep_reason_spark.queries_topics import _SQL_EX
+    assign_cte = cosine_topk_sql(
+        items="ex", probes="bcents", item_ids=["vec_id"], probe_ids=["label"],
+        k=1, partition="item", score_name="cos",
+        item_val="val", probe_val="c", out="ck_v7", prefix="v7_")
+    return f"""
+WITH {_SQL_EX},
+bex AS MATERIALIZED (SELECT * FROM ex WHERE vec_id % 4 != 0),
+bcents AS MATERIALIZED (
+  SELECT label, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM bex GROUP BY label, dim
+),
+{assign_cte}
+SELECT vec_id AS doc_id, CAST(label AS INT) AS cell, cos FROM ck_v7
+"""
+
+
+# ---------------------------------------------------------------------------
 # CY — text2cypher execution (baseline/langchain_baseline_graph.py): the
 # reference LLM-generates Cypher, validates and runs it on Neo4j; here a
 # restricted-Cypher compiler runs the SAME query shapes directly on the
@@ -1053,6 +1106,7 @@ EXTRA_QUERIES = {
     "d6_embedding_neardup": q_d6_embedding_neardup,
     "v5_ivf_topk": q_v5_ivf_topk,
     "v6_ivf_multiprobe": q_v6_ivf_multiprobe,
+    "v7_ivf_append": q_v7_ivf_append,
     "cy1_text2cypher_agg": q_cy1_text2cypher_agg,
     "cy2_text2cypher_distinct": q_cy2_text2cypher_distinct,
     "g3_two_hop_paths": q_g3_two_hop_paths,
@@ -1078,6 +1132,7 @@ def extra_oracles() -> dict[str, str]:
         "d6_embedding_neardup": ORACLE_D6,
         "v5_ivf_topk": ORACLE_V5,
         "v6_ivf_multiprobe": _oracle_v6(),
+        "v7_ivf_append": _oracle_v7(),
         "cy1_text2cypher_agg": ORACLE_CY1,
         "cy2_text2cypher_distinct": ORACLE_CY2,
         "g3_two_hop_paths": ORACLE_G3,

@@ -268,3 +268,60 @@ def test_ivf_cells_materialized_once(spark, emb, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Parquet" in plan2 or "parquet" in plan2
     cells.unpersist()
+
+
+def test_ivf_append_equals_rebuild_without_touching_base_files(
+        spark, emb, tmp_path):
+    """Incremental IVF maintenance (r5): folding a batch of new vectors
+    into a stored index equals a full rebuild under the SAME centroids
+    (per-row nearest-centroid is independent across vectors), and the
+    append never reads or rewrites the indexed bulk — the base parquet
+    files are byte-identical afterwards (append adds files only)."""
+    import os as _os
+
+    from deep_reason_spark.plans.rag_pipeline import (
+        append_ivf_index,
+        build_ivf_index,
+        vector_branch,
+    )
+    from deep_reason_spark.operators.topics import assign_topics
+
+    bare = emb.select("vec_id", "embedding")
+    base = bare.where(F.col("vec_id") % 4 != 0)
+    batch = bare.where(F.col("vec_id") % 4 == 0)
+    idx_dir = str(tmp_path / "ivf_index")
+    _, cents = build_ivf_index(base, index_dir=idx_dir)
+
+    def _files():
+        out = {}
+        for root, _dirs, names in _os.walk(idx_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = _os.path.join(root, n)
+                    out[p] = _os.path.getmtime(p)
+        return out
+
+    before = _files()
+    appended = append_ivf_index(batch, cents, idx_dir)
+    after = _files()
+    # zero rescans/rewrites of the indexed bulk: every pre-append file
+    # survives untouched; the batch arrives as strictly new files
+    assert set(before) <= set(after)
+    assert all(after[p] == m for p, m in before.items())
+    assert set(after) - set(before)
+
+    # table == full rebuild with the same fixed centroids
+    got = {(r.doc_id, r.cell) for r in appended.collect()}
+    want = {(r.vec_id, r.topic)
+            for r in assign_topics(bare, cents).collect()}
+    assert got == want
+
+    # retrieval through the appended index finds batch vectors: a question
+    # that IS a batch vector self-retrieves at rank 1
+    qs = bare.where(F.col("vec_id") == 4).select(
+        F.lit(1).alias("question_id"),
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("question_vec"),
+    )
+    hit = vector_branch(qs, bare, top_k=1, ivf=(appended, cents)).collect()
+    assert hit[0].doc_id == 4
