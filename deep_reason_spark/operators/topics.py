@@ -159,6 +159,69 @@ def ctfidf_terms(tokens: DataFrame, assignments: DataFrame, n_docs: int,
 
 MMR_DIVERSITY = 0.5   # muli_aspect.py:21 MaximalMarginalRelevance(diversity=0.5)
 
+# Candidate rows (n_topics × top_n) at or below which the greedy MMR loop
+# runs as a bounded driver loop instead of n_select−1 unrolled Spark jobs —
+# the same two-regime rationale as canonicalize.SMALL_CC_EDGES: below the
+# threshold the distributed rounds are pure fixed stage latency (measured
+# 3.8 s for 100 candidate rows at sf0.01), and the candidate table is
+# bounded BY CONSTRUCTION (row_number ≤ top_n per topic), so the collect is
+# a capped top-K, never corpus-scale. Above the threshold (huge topic
+# counts) the unrolled distributed loop is unchanged.
+SMALL_MMR_CANDIDATES = 4_096
+
+
+def _spark_round6(x: float) -> float:
+    """Replicate Spark's round(double, 6): HALF_UP on the shortest decimal
+    repr (Catalyst rounds BigDecimal(Double.toString(d)); Python's repr is
+    the same shortest-roundtrip decimal, so the quantize below is
+    bit-identical — same cross-engine argument the DuckDB oracles rely
+    on)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal("1E-6"), rounding=ROUND_HALF_UP))
+
+
+def _mmr_greedy_driver(rel_rows, sim_rows, n_select: int,
+                       diversity: float) -> list[tuple]:
+    """Driver-regime greedy MMR over the COLLECTED bounded candidate /
+    similarity tables — replicates the distributed loop decision-for-
+    decision: same rounded-to-6 objective, same (mmr desc, term asc)
+    tie-break (Python string order == Spark UTF8 binary order), same
+    inner-join semantics (a remaining term with no similarity row to any
+    selected term is not pickable that step)."""
+    cand: dict = {}
+    first: dict = {}
+    for r in rel_rows:
+        cand.setdefault(r["topic"], []).append((r["term"], r["rel"]))
+        if r["rank"] == 1:
+            first[r["topic"]] = r["term"]
+    sim = {(r["t1"], r["t2"]): r["sim"] for r in sim_rows}
+    out: list[tuple] = []
+    for topic, terms in cand.items():
+        selected = [first[topic]]
+        out.append((topic, first[topic], 1))
+        for step in range(2, n_select + 1):
+            best = None
+            for term, relv in terms:
+                if term in selected:
+                    continue
+                ms = None
+                for s in selected:
+                    v = sim.get((term, s))
+                    if v is not None and (ms is None or v > ms):
+                        ms = v
+                if ms is None:
+                    continue
+                mmr = _spark_round6((1.0 - diversity) * relv - diversity * ms)
+                key = (-mmr, term)
+                if best is None or key < best[0]:
+                    best = (key, term)
+            if best is None:
+                break
+            selected.append(best[1])
+            out.append((topic, best[1], step))
+    return out
+
 
 def term_similarities(topic_terms: DataFrame) -> DataFrame:
     """Symmetric cosine similarity between co-candidate top terms →
@@ -200,16 +263,25 @@ def term_similarities(topic_terms: DataFrame) -> DataFrame:
 
 
 def mmr_terms(topic_terms: DataFrame, n_select: int = 4,
-              diversity: float = MMR_DIVERSITY) -> DataFrame:
+              diversity: float = MMR_DIVERSITY,
+              small_threshold: int | None = None) -> DataFrame:
     """Deterministic MaximalMarginalRelevance over the c-TF-IDF top terms
     (the reference's MMR aspect, ``topic_modeling/bertopic/muli_aspect.py:
     12-24``) → (topic, term, sel_rank).
 
     Greedy per topic: relevance = score / topic max (round 6); first pick
     = rank-1 term; each next pick maximizes round((1-diversity)·rel −
-    diversity·max sim to already-selected, 6), ties on term asc. The loop
-    unrolls n_select−1 joins over the top_n×k candidate table (vocabulary-
-    scale; checkpointed per step so plans stay bounded)."""
+    diversity·max sim to already-selected, 6), ties on term asc.
+
+    Two regimes (the CC convention): at or below ``small_threshold``
+    candidate rows (default module global SMALL_MMR_CANDIDATES; pass 0 to
+    force the distributed path) the greedy loop runs on the driver over
+    the collected — bounded by construction — candidate/similarity tables;
+    above it the loop unrolls n_select−1 joins over the top_n×k candidate
+    table (vocabulary-scale; checkpointed per step so plans stay
+    bounded). ``tests/test_topics.py`` pins regime equivalence."""
+    if small_threshold is None:
+        small_threshold = SMALL_MMR_CANDIDATES
     maxs = topic_terms.groupBy("topic").agg(F.max("score").alias("_mx"))
     rel = (
         topic_terms.join(maxs, "topic")
@@ -217,6 +289,17 @@ def mmr_terms(topic_terms: DataFrame, n_select: int = 4,
                 F.round(F.col("score") / F.col("_mx"), 6).alias("rel"))
         .localCheckpoint()
     )
+    if rel.count() <= small_threshold:
+        from pyspark.sql import types as T
+        rel_rows = [r.asDict() for r in rel.collect()]
+        sim_rows = [r.asDict()
+                    for r in term_similarities(topic_terms).collect()]
+        picked = _mmr_greedy_driver(rel_rows, sim_rows, n_select, diversity)
+        schema = T.StructType([
+            rel.schema["topic"], rel.schema["term"],
+            T.StructField("sel_rank", T.IntegerType(), False),
+        ])
+        return topic_terms.sparkSession.createDataFrame(picked, schema)
     sims = term_similarities(topic_terms).localCheckpoint()
     selected = rel.where(F.col("rank") == 1).select(
         "topic", "term", F.lit(1).alias("sel_rank"))

@@ -491,6 +491,7 @@ _PLAN_CHANGED_THIS_ROUND = {
     "c1_communities",
     "c2_community_reports",
     "ds1_drift_search",
+    "t9_topic_aspects",  # r5: two-regime MMR (driver greedy below threshold)
 }
 
 

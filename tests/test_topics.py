@@ -160,3 +160,32 @@ def test_topic_aspects_shape(spark):
     rows = {r.topic: r for r in topic_aspects(asg, terms).collect()}
     assert set(rows[0].asDict()) == {"topic", "count", "name",
                                      "mmr_name", "pos_name"}
+
+
+def test_mmr_two_regimes_equivalent(spark):
+    """The driver greedy (candidate table ≤ SMALL_MMR_CANDIDATES) must make
+    decision-for-decision the same selections as the distributed unrolled
+    loop (small_threshold=0 forces it) — same rounded objective, same
+    tie-breaks, same inner-join pickability. Run on the real sf0.001
+    c-TF-IDF terms so scores carry full double precision, not round
+    fixture values."""
+    from deep_reason_spark.operators.topics import (
+        assign_topics,
+        ctfidf_terms,
+        mmr_terms,
+        seeded_centroids,
+        tokenize,
+    )
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    asg = assign_topics(e, seeded_centroids(e)).localCheckpoint()
+    terms = ctfidf_terms(
+        tokenize(d), asg, n_docs=d.count(),
+        n_topics=e.select("label").distinct().count(), top_n=10,
+    ).localCheckpoint()
+    driver = {(r.topic, r.sel_rank): r.term
+              for r in mmr_terms(terms, n_select=4).collect()}
+    dist = {(r.topic, r.sel_rank): r.term
+            for r in mmr_terms(terms, n_select=4,
+                               small_threshold=0).collect()}
+    assert driver == dist and driver
