@@ -145,6 +145,132 @@ def stream_maintain_components(
     )
 
 
+def stream_maintain_kg(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    alias_dict: DataFrame,
+    checkpoint_dir: str | None = None,
+    salt: int = 0,
+    entity_types: DataFrame | None = None,
+    community_min_weight: int = 2,
+    community_max_degree: int = 64,
+):
+    """Continuously-maintained knowledge graph over a DOCUMENT stream — the
+    streaming face of the delta-only refresh
+    (``plans/incremental_kg.run_incremental_kg_update``), composing the two
+    maintenance streams above into the full production shape: repo files
+    land in ``input_dir`` over time; each micro-batch is chunked +
+    extracted and folded into ALL ten stored graph-stage tables without
+    rescanning historical triples. (The reference refreshes by re-feeding
+    the whole ``current_graph`` through its refine chain per update,
+    deep-reason ``kg_agent/chains.py:99-135`` — O(graph) per batch; this
+    is O(batch) plus edge-scale derived-table rebuilds.)
+
+    Bootstrap: the first micro-batch (no ``entity_blocks`` state yet at
+    ``out_dir``) runs the full ``run_graph_stage`` + one
+    ``init_incremental_state`` pass; every later batch is delta-only. To
+    stream on top of an existing batch-built graph, call
+    ``init_incremental_state`` once beforehand — the stream then never
+    bootstraps.
+
+    Exactly-once: unlike the two sinks above, the incremental fold is NOT
+    idempotent (edge weights SUM — replaying an applied batch would double
+    them), so a partition-overwrite sink can't provide the guarantee.
+    Instead the last applied micro-batch id is recorded in an
+    ``_applied_batch`` marker written atomically AFTER every table has
+    been swapped in; a replayed batch with ``batch_id <= marker`` is a
+    no-op. A failure anywhere before the swap loop leaves the stored graph
+    at the pre-update state (staging protocol) and the marker unwritten —
+    the replay then applies the batch exactly once. The residual window is
+    the swap-loop-to-marker interval (a few directory renames, the same
+    single-filesystem caveat ``_swap_in`` documents); a cluster deployment
+    commits the tables and the marker in ONE transactional-catalog
+    operation to close it.
+
+    ``salt`` / ``entity_types`` / ``community_*`` must be held constant
+    across the stream's lifetime (same contract as
+    ``run_incremental_kg_update``)."""
+    import shutil
+
+    from deep_reason_spark.plans.incremental_kg import (
+        BLOCKS_DIR,
+        init_incremental_state,
+        run_incremental_kg_update,
+    )
+    from deep_reason_spark.plans.kg_pipeline import run_graph_stage
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_kg_checkpoint")
+    marker = os.path.join(out_dir, "_applied_batch")
+
+    def _applied() -> int | None:
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def _record(batch_id: int) -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        last = _applied()
+        if last is not None and batch_id <= last:
+            return  # replayed batch already folded in — the fold is not
+            # idempotent, so the guard (not a re-run) IS the exactly-once
+        triples = extract_triples(chunk_repo_files(batch_df)).localCheckpoint()
+        if triples.limit(1).count() == 0:
+            _record(batch_id)  # nothing extractable; applied vacuously
+            return
+        if not os.path.exists(os.path.join(out_dir, BLOCKS_DIR)):
+            shutil.rmtree(out_dir + "__bootstrap", ignore_errors=True)
+            # bootstrap builds into a staging sibling then renames whole —
+            # a crash mid-bootstrap must not leave a half-written graph
+            # that a replay would mistake for incremental state
+            stage_dir = out_dir + "__bootstrap"
+            run_graph_stage(
+                spark, triples, alias_dict, stage_dir, salt=salt,
+                entity_types=entity_types,
+                community_min_weight=community_min_weight,
+                community_max_degree=community_max_degree,
+            )
+            init_incremental_state(spark, triples, alias_dict, stage_dir)
+            # entity_blocks is the bootstrap-done sentinel (it gates the
+            # incremental path above) — move it LAST so a crash mid-move
+            # leaves a replay re-bootstrapping, never folding into a
+            # half-moved graph
+            names = sorted(os.listdir(stage_dir),
+                           key=lambda n: n == BLOCKS_DIR)
+            for name in names:
+                dst = os.path.join(out_dir, name)
+                if os.path.exists(dst):  # crashed earlier move — self-heal
+                    shutil.rmtree(dst)
+                os.rename(os.path.join(stage_dir, name), dst)
+            os.rmdir(stage_dir)
+        else:
+            run_incremental_kg_update(
+                spark, triples, alias_dict, out_dir, salt=salt,
+                entity_types=entity_types,
+                community_min_weight=community_min_weight,
+                community_max_degree=community_max_degree,
+            )
+        _record(batch_id)
+
+    stream = (
+        spark.readStream.schema(REPO_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_dir: str,
