@@ -121,3 +121,20 @@ def broadcast_if_small(df: DataFrame,
     if max_bytes is None:
         max_bytes = BROADCAST_MAX_BYTES
     return F.broadcast(df) if estimate_bytes(df) <= max_bytes else df
+
+
+def broadcast_hint(df: DataFrame, max_bytes: int | None = None):
+    """One byte estimate → a join hint (``F.broadcast`` or identity)
+    reusable across SEVERAL joins of the same map or its projections.
+
+    Use this instead of per-join ``broadcast_if_small`` when a loop joins
+    N projections of one entity-scale table: each projection has a
+    distinct plan hash, so the per-join gate would run N estimate actions
+    over the same underlying table. Estimating the WHOLE table once is
+    conservative (every projection is no larger), and the memo makes
+    repeated calls on the same frame free."""
+    if max_bytes is None:
+        max_bytes = BROADCAST_MAX_BYTES
+    if estimate_bytes(df) <= max_bytes:
+        return F.broadcast
+    return lambda d: d

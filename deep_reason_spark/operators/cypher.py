@@ -134,14 +134,18 @@ def run_cypher(
         raise CypherError("query references node properties but no nodes "
                           "table was provided")
     # gated, not bare: `nodes` is the entity-scale nodes table — broadcast
-    # only while it estimates small, else AQE plans the property join
-    from deep_reason_spark.functions.broadcast import broadcast_if_small
+    # only while it estimates small, else AQE plans the property joins.
+    # ONE estimate of the whole table (memoized), reused for every
+    # projected property join — per-projection gating would run one
+    # estimate action per RETURN property over the same table
+    from deep_reason_spark.functions.broadcast import broadcast_hint
+    hint = broadcast_hint(nodes) if needed_props else None
     for var, prop in sorted(needed_props):
         if prop not in (nodes.columns if nodes is not None else []):
             raise CypherError(f"unknown node property {prop!r}")
         side = nodes.select(F.col("id").alias(var),
                             F.col(prop).alias(f"__{var}_{prop}"))
-        df = df.join(broadcast_if_small(side), var, "left")
+        df = df.join(hint(side), var, "left")
 
     def _prop_col(var: str, prop: str):
         return F.col(var) if prop == "id" else F.col(f"__{var}_{prop}")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from deep_reason_spark.functions.names import longest_name
 
 from deep_reason_spark.functions import broadcast as _bc
 
@@ -35,9 +36,9 @@ def _gate(df: DataFrame):
     corpus: forcing F.broadcast on them is the 100×-scale bug class
     (VERDICT r2 #2); beyond the gate they shuffle and AQE owns skew.
     The threshold reads the module global at CALL time (one tunable knob,
-    same contract as broadcast_if_small)."""
-    return (F.broadcast if _bc.estimate_bytes(df) <= _bc.BROADCAST_MAX_BYTES
-            else (lambda d: d))
+    same contract as broadcast_if_small). Thin alias of the shared
+    ``broadcast_hint`` kept for this module's call sites."""
+    return _bc.broadcast_hint(df)
 
 
 def build_edges(canonical_triples: DataFrame,
@@ -71,7 +72,7 @@ def build_edges(canonical_triples: DataFrame,
                 F.col("dst").alias("canonical_id"),
                 F.col("object_canonical").alias("name")))
             .groupBy("canonical_id")
-            .agg(F.max_by("name", F.length("name")).alias("name"))
+            .agg(longest_name("name").alias("name"))
             # derived here → pinned here: the gate estimate + two joins
             # below must not re-scan the triples three times
             .localCheckpoint()
@@ -305,7 +306,7 @@ def build_nodes(canonical_triples: DataFrame, entity_types: DataFrame | None = N
     )
     both = as_subject.unionByName(as_object)
     nodes = both.groupBy("id").agg(
-        F.max_by("name", F.length("name")).alias("title"),
+        longest_name("name").alias("title"),
         # collect_set, not collect_list: map-side partial aggregation keeps
         # the per-group state at |distinct predicates|, not |rows| — a hub
         # entity with 10^7 mentions must not buffer 10^7 strings

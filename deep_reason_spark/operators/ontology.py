@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from deep_reason_spark.functions.names import longest_name
 
 from deep_reason_spark.functions.broadcast import broadcast_if_small
 
@@ -142,7 +143,7 @@ def build_kg_structure(
                             F.col("object_type")))
         .groupBy("node_id")
         .agg(
-            F.max_by("entity_name", F.length("entity_name")).alias("entity_name"),
+            longest_name("entity_name").alias("entity_name"),
             F.min("t").alias("t"),
         )
         .select("node_id", "entity_name",

@@ -52,6 +52,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from deep_reason_spark.functions.names import longest_name
 
 from deep_reason_spark.functions.broadcast import (
     broadcast_if_small,
@@ -121,7 +122,7 @@ def init_incremental_state(
     titles = (
         ids.join(broadcast_if_small(mapping), "entity_id")
         .groupBy("canonical_id")
-        .agg(F.max_by("canonical_name", F.length("canonical_name"))
+        .agg(longest_name("canonical_name")
              .alias("title"))
     )
     titles.write.mode("overwrite").parquet(os.path.join(out_dir, TITLES_DIR))
@@ -266,7 +267,7 @@ def run_incremental_kg_update(
     batch_titles = (
         ids.join(broadcast_if_small(batch_canon), "entity_id")
         .groupBy("canonical_id")
-        .agg(F.max_by("canonical_name", F.length("canonical_name"))
+        .agg(longest_name("canonical_name")
              .alias("title"))
     )
     gated_delta = broadcast_if_small(delta)
@@ -277,7 +278,7 @@ def run_incremental_kg_update(
                 "title")
         .unionByName(batch_titles)
         .groupBy("canonical_id")
-        .agg(F.max_by("title", F.length("title")).alias("title"))
+        .agg(longest_name("title").alias("title"))
         .localCheckpoint()
     )
     _lap("titles")
@@ -343,7 +344,9 @@ def run_incremental_kg_update(
         build_nodes_from_edges(edge_agg, new_titles,
                                entity_types=canonical_types)
         .localCheckpoint())))
-    _lap("builds")
+    _lap("builds")  # submission only — the build futures resolve under
+    # the write wave, so their wall rides in inc.writes (BASELINE.md
+    # "builds (submission)" row; same reading rule as graph.builds)
 
     # ---- blocks state: min is associative ----------------------------------
     merged_blocks = (

@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from deep_reason_spark.functions.names import longest_name
 
 from deep_reason_spark.operators.canonicalize import canonicalize_entities
 from deep_reason_spark.operators.chunker import chunk_repo_files
@@ -333,7 +334,7 @@ def run_graph_stage(
     # entity-scale; consumed by the edge names, the nodes table, and the
     # byte gates inside each — pin once
     titles = full_map.groupBy("canonical_id").agg(
-        F.max_by("canonical_name", F.length("canonical_name")).alias("title")
+        longest_name("canonical_name").alias("title")
     ).localCheckpoint()
     edge_agg = build_edges(
         canonical, names=titles.withColumnRenamed("title", "name")

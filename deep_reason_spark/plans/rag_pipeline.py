@@ -151,7 +151,13 @@ def build_ivf_index(embeddings: DataFrame,
     cells = assign_topics(embeddings, cents).select(
         F.col("vec_id").alias("doc_id"), F.col("topic").alias("cell"))
     if index_dir is not None:
+        from deep_reason_spark.functions.broadcast import bump_estimate_epoch
+
         cells.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+        # a rebuild overwrites storage behind any plan-identical reader:
+        # invalidate memoized byte estimates (CLAUDE.md epoch rule — same
+        # contract as append_ivf_index below)
+        bump_estimate_epoch()
         cells = cells.sparkSession.read.parquet(index_dir)
     else:
         cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
