@@ -172,7 +172,11 @@ def stream_maintain_kg(
     ``init_incremental_state`` pass; every later batch is delta-only. To
     stream on top of an existing batch-built graph, call
     ``init_incremental_state`` once beforehand — the stream then never
-    bootstraps.
+    bootstraps. The bootstrap is fenced by a ``_bootstrap_pending`` flag
+    (written before any mutation, recording the batch id; cleared after
+    the applied-marker write): a crash ANYWHERE inside the bootstrap makes
+    the replay re-bootstrap from scratch — safe, because the bootstrap is
+    a full overwrite and therefore idempotent, unlike the fold.
 
     Exactly-once: unlike the two sinks above, the incremental fold is NOT
     idempotent (edge weights SUM — replaying an applied batch would double
@@ -183,80 +187,33 @@ def stream_maintain_kg(
     no-op. A failure anywhere before the swap loop leaves the stored graph
     at the pre-update state (staging protocol) and the marker unwritten —
     the replay then applies the batch exactly once. The residual window is
-    the swap-loop-to-marker interval (a few directory renames, the same
-    single-filesystem caveat ``_swap_in`` documents); a cluster deployment
-    commits the tables and the marker in ONE transactional-catalog
-    operation to close it.
+    the swap-loop-to-marker interval on the INCREMENTAL path (a few
+    directory renames, the same single-filesystem caveat ``_swap_in``
+    documents; the bootstrap path has no such window — the pending fence
+    covers it); a cluster deployment commits the tables and the marker in
+    ONE transactional-catalog operation to close it.
+
+    The marker also records the streaming query id (the checkpoint's
+    identity): batch ids are only comparable WITHIN one checkpoint
+    lineage. If the checkpoint is lost and recreated, the restarted
+    stream renumbers batches and regroups files, so an id-only guard
+    could silently skip new documents or double-fold old ones — instead
+    the lineage mismatch raises, with the remediation being either
+    restoring the checkpoint or rebuilding into a fresh ``out_dir``.
 
     ``salt`` / ``entity_types`` / ``community_*`` must be held constant
     across the stream's lifetime (same contract as
     ``run_incremental_kg_update``)."""
-    import shutil
-
-    from deep_reason_spark.plans.incremental_kg import (
-        BLOCKS_DIR,
-        init_incremental_state,
-        run_incremental_kg_update,
-    )
-    from deep_reason_spark.plans.kg_pipeline import run_graph_stage
-
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_kg_checkpoint")
-    marker = os.path.join(out_dir, "_applied_batch")
-
-    def _applied() -> int | None:
-        if not os.path.exists(marker):
-            return None
-        with open(marker) as f:
-            return int(f.read().strip())
-
-    def _record(batch_id: int) -> None:
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, marker)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        last = _applied()
-        if last is not None and batch_id <= last:
-            return  # replayed batch already folded in — the fold is not
-            # idempotent, so the guard (not a re-run) IS the exactly-once
-        triples = extract_triples(chunk_repo_files(batch_df)).localCheckpoint()
-        if triples.limit(1).count() == 0:
-            _record(batch_id)  # nothing extractable; applied vacuously
-            return
-        if not os.path.exists(os.path.join(out_dir, BLOCKS_DIR)):
-            shutil.rmtree(out_dir + "__bootstrap", ignore_errors=True)
-            # bootstrap builds into a staging sibling then renames whole —
-            # a crash mid-bootstrap must not leave a half-written graph
-            # that a replay would mistake for incremental state
-            stage_dir = out_dir + "__bootstrap"
-            run_graph_stage(
-                spark, triples, alias_dict, stage_dir, salt=salt,
-                entity_types=entity_types,
-                community_min_weight=community_min_weight,
-                community_max_degree=community_max_degree,
-            )
-            init_incremental_state(spark, triples, alias_dict, stage_dir)
-            # entity_blocks is the bootstrap-done sentinel (it gates the
-            # incremental path above) — move it LAST so a crash mid-move
-            # leaves a replay re-bootstrapping, never folding into a
-            # half-moved graph
-            names = sorted(os.listdir(stage_dir),
-                           key=lambda n: n == BLOCKS_DIR)
-            for name in names:
-                dst = os.path.join(out_dir, name)
-                if os.path.exists(dst):  # crashed earlier move — self-heal
-                    shutil.rmtree(dst)
-                os.rename(os.path.join(stage_dir, name), dst)
-            os.rmdir(stage_dir)
-        else:
-            run_incremental_kg_update(
-                spark, triples, alias_dict, out_dir, salt=salt,
-                entity_types=entity_types,
-                community_min_weight=community_min_weight,
-                community_max_degree=community_max_degree,
-            )
-        _record(batch_id)
+        _maintain_kg_batch(
+            spark, batch_df, batch_id, out_dir=out_dir,
+            checkpoint_dir=checkpoint_dir, alias_dict=alias_dict, salt=salt,
+            entity_types=entity_types,
+            community_min_weight=community_min_weight,
+            community_max_degree=community_max_degree,
+        )
 
     stream = (
         spark.readStream.schema(REPO_FILES_SCHEMA)
@@ -269,6 +226,116 @@ def stream_maintain_kg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _maintain_kg_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    alias_dict: DataFrame,
+    salt: int = 0,
+    entity_types: DataFrame | None = None,
+    community_min_weight: int = 2,
+    community_max_degree: int = 64,
+) -> None:
+    """One ``stream_maintain_kg`` micro-batch — module-level so the crash
+    fences (pending bootstrap, lineage guard, marker ordering) are directly
+    drivable in tests without a streaming query around them."""
+    import json
+    import shutil
+
+    from deep_reason_spark.plans.incremental_kg import (
+        BLOCKS_DIR,
+        init_incremental_state,
+        run_incremental_kg_update,
+    )
+    from deep_reason_spark.plans.kg_pipeline import run_graph_stage
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_applied_batch")
+    pending = os.path.join(out_dir, "_bootstrap_pending")
+
+    # Spark writes the query id to <checkpoint>/metadata at stream start,
+    # before any batch runs — it IS the checkpoint's identity
+    with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        qid = json.load(f)["id"]
+
+    def _applied() -> tuple[str, int] | None:
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            mq, bid = f.read().strip().rsplit(":", 1)
+        return mq, int(bid)
+
+    def _record(batch_id: int) -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{qid}:{batch_id}")
+        os.replace(tmp, marker)
+
+    last = _applied()
+    if last is not None:
+        last_qid, last_bid = last
+        if last_qid != qid:
+            raise RuntimeError(
+                "stream_maintain_kg: the streaming checkpoint at "
+                f"{checkpoint_dir!r} is not the one that built the "
+                f"graph at {out_dir!r} (query id {qid} != applied-"
+                f"marker id {last_qid}). Batch ids are only comparable "
+                "within one checkpoint lineage — continuing could "
+                "silently skip new documents or double-fold applied "
+                "ones. Restore the original checkpoint, or rebuild "
+                "into a fresh out_dir.")
+        if batch_id <= last_bid:
+            return  # replayed batch already folded in — the fold is not
+            # idempotent; the guard (not a re-run) IS the exactly-once
+    triples = extract_triples(chunk_repo_files(batch_df)).localCheckpoint()
+    if triples.limit(1).count() == 0:
+        _record(batch_id)  # nothing extractable; applied vacuously
+        return
+    pend = None
+    if os.path.exists(pending):
+        with open(pending) as f:
+            pend = int(f.read().strip())
+        if last is not None and last[1] >= pend:
+            # bootstrap WAS recorded; the flag survived only because the
+            # crash hit after _record, before the unlink — stale, drop it
+            os.unlink(pending)
+            pend = None
+    if pend is not None or not os.path.exists(
+            os.path.join(out_dir, BLOCKS_DIR)):
+        # ---- bootstrap (idempotent full overwrite) ---------------------
+        with open(pending + ".tmp", "w") as f:
+            f.write(str(batch_id))
+        os.replace(pending + ".tmp", pending)  # fence BEFORE any mutation
+        stage_dir = out_dir + "__bootstrap"
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        run_graph_stage(
+            spark, triples, alias_dict, stage_dir, salt=salt,
+            entity_types=entity_types,
+            community_min_weight=community_min_weight,
+            community_max_degree=community_max_degree,
+        )
+        init_incremental_state(spark, triples, alias_dict, stage_dir)
+        for name in os.listdir(stage_dir):
+            dst = os.path.join(out_dir, name)
+            if os.path.exists(dst):  # crashed earlier move — self-heal
+                shutil.rmtree(dst)
+            os.rename(os.path.join(stage_dir, name), dst)
+        os.rmdir(stage_dir)
+        _record(batch_id)
+        os.unlink(pending)
+    else:
+        run_incremental_kg_update(
+            spark, triples, alias_dict, out_dir, salt=salt,
+            entity_types=entity_types,
+            community_min_weight=community_min_weight,
+            community_max_degree=community_max_degree,
+        )
+        _record(batch_id)
 
 
 def windowed_event_counts(
