@@ -492,6 +492,8 @@ _PLAN_CHANGED_THIS_ROUND = {
     "c2_community_reports",
     "ds1_drift_search",
     "t9_topic_aspects",  # r5: two-regime MMR (driver greedy below threshold)
+    "g8_incremental_edges",  # r5: deterministic longest_name tie-break in
+    # build_edges (shared names.py reduction)
 }
 
 
