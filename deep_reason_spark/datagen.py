@@ -49,6 +49,24 @@ GOLDEN_SCHEMA = (
 _LANGS = ["py", "md", "rs", "java", "txt"]
 _PREDS = sorted(SIMPLE_PREDICATES)
 
+# Synthetic entity names for the entity-GROWTH corpus regime. The base
+# vocab saturates at ~1,080 entities, so at large n_files EVERY update
+# batch touches every entity — the adversarial worst case for incremental
+# maintenance (VERDICT r4 noted the routed passthrough moves ~0 rows
+# there). Real web corpora grow entities with the corpus; `extra_entities`
+# models that: a share of simple facts draws both endpoints from a
+# generated pool of that size. Names are letters-only capitalized pairs
+# (they must match extractor.ENTITY_RE) and injective in k below 160,000.
+_SYL = ["zor", "vek", "mul", "tar", "quo", "fen", "rish", "bal", "nog",
+        "wex", "pim", "dru", "sav", "kol", "yen", "gar", "hax", "lom",
+        "tiv", "ruz"]
+
+
+def synth_entity(k: int) -> str:
+    a = _SYL[k % 20] + _SYL[(k // 20) % 20]
+    b = _SYL[(k // 400) % 20] + _SYL[(k // 8000) % 20]
+    return f"{a.capitalize()} {b.capitalize()}"
+
 
 def _repo_for(file_id: int, n_repos: int) -> int:
     """Weighted repo assignment: repo 0 has weight 10, others weight 1."""
@@ -61,8 +79,13 @@ def _pick(pool: list[str], *key: object) -> str:
     return pool[det_int(*key) % len(pool)]
 
 
-def _build_file(file_id: int, n_files: int) -> tuple[dict[str, Any], list[dict[str, Any]]]:
-    """Pure function: file_id → (repo_files row, golden triple rows)."""
+def _build_file(
+    file_id: int, n_files: int, extra_entities: int = 0,
+) -> tuple[dict[str, Any], list[dict[str, Any]]]:
+    """Pure function: file_id → (repo_files row, golden triple rows).
+    ``extra_entities=0`` keeps the byte-stable base corpus; a positive
+    value reroutes half of the simple facts to the growing synthetic
+    entity pool (see ``synth_entity``)."""
     n_repos = max(2, n_files // 20)
     r = _repo_for(file_id, n_repos)
     repo = f"org{r % 7}/proj{r}"
@@ -93,7 +116,19 @@ def _build_file(file_id: int, n_files: int) -> tuple[dict[str, Any], list[dict[s
         sentences: list[str] = []
         for s in range(n_sent):
             kind = det_int("kind", file_id, p, s) % 10
-            if kind < 7:  # simple fact
+            if (kind < 7 and extra_entities
+                    and det_int("sgrow", file_id, p, s) % 2 == 0):
+                # entity-growth fact: both endpoints from the synthetic pool
+                pred = _PREDS[det_int("pred", file_id, p, s) % len(_PREDS)]
+                subj = synth_entity(det_int("ssub", file_id, p, s) % extra_entities)
+                obj = synth_entity(det_int("sobj", file_id, p, s) % extra_entities)
+                if subj == obj:
+                    obj = synth_entity(
+                        (det_int("sobj", file_id, p, s) + 1) % extra_entities)
+                sentences.append(f"{subj} {pred} {obj}.")
+                triples.append({"subject": subj, "predicate": pred, "object": obj,
+                                "document_id": document_id, "order_id": p})
+            elif kind < 7:  # simple fact
                 pred = _PREDS[det_int("pred", file_id, p, s) % len(_PREDS)]
                 spool, opool = SIMPLE_PREDICATES[pred]
                 subj = _pick(POOLS[spool], "subj", file_id, p, s)
@@ -165,25 +200,28 @@ def _note_full(surface: str, canonical: str, pool: str,
 # Spark-side distributed generation
 # ---------------------------------------------------------------------------
 
-def generate_repo_files(spark, n_files: int, partitions: int | None = None):
+def generate_repo_files(spark, n_files: int, partitions: int | None = None,
+                        extra_entities: int = 0):
     """Distributed deterministic corpus: spark.range → mapInPandas."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_build_file(int(i), n_files)[0] for i in pdf["id"]]
+            rows = [_build_file(int(i), n_files, extra_entities)[0]
+                    for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
     rng = spark.range(n_files, numPartitions=partitions or max(8, n_files // 2000))
     return rng.mapInPandas(gen, REPO_FILES_SCHEMA)
 
 
-def generate_golden_triples(spark, n_files: int, partitions: int | None = None):
+def generate_golden_triples(spark, n_files: int, partitions: int | None = None,
+                            extra_entities: int = 0):
     """Golden expected_triples table (FIXTURES.md F4), same derivation."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["subject", "predicate", "object", "document_id", "order_id", "content_sha256"]
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for i in pdf["id"]:
-                rows.extend(_build_file(int(i), n_files)[1])
+                rows.extend(_build_file(int(i), n_files, extra_entities)[1])
             yield pd.DataFrame(rows, columns=cols)
 
     rng = spark.range(n_files, numPartitions=partitions or max(8, n_files // 2000))
