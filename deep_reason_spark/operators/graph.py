@@ -209,7 +209,8 @@ def incremental_edge_update(
     relabel_map: DataFrame | None = None,
     names: DataFrame | None = None,
     affected_ids: DataFrame | None = None,
-) -> DataFrame:
+    return_split: bool = False,
+):
     """One-pass incremental maintenance of the edges table: re-key the old
     table by the component-merge relabel (if any), build the new batch's
     edge aggregate from ONLY its triples, and fold both through a single
@@ -231,8 +232,18 @@ def incremental_edge_update(
     one linear scan) instead of O(full edge-table re-aggregation). Exact:
     a key absent from the batch and the relabel map aggregates to itself,
     and its endpoints' titles are unchanged by construction of
-    ``affected_ids``."""
+    ``affected_ids``.
+
+    ``return_split=True`` (requires ``affected_ids``) returns the pair
+    ``(passthrough, merged_touched)`` instead of their union: the
+    passthrough keeps EVERY column of ``old_edges`` (including storage
+    partition columns like ``bucket`` and decorations like
+    ``combined_degree``) so the caller can partition-prune the write and
+    reuse stored per-row decorations that are valid exactly when both
+    endpoints are unaffected."""
     fresh = _edge_core(build_edges(new_canonical_triples, names=names))
+    if return_split and affected_ids is None:
+        raise ValueError("return_split requires affected_ids")
     if affected_ids is None:
         core = _edge_core(old_edges)
         if relabel_map is not None:
@@ -246,7 +257,9 @@ def incremental_edge_update(
     # estimate (CLAUDE.md: estimate_bytes is an action)
     fresh = fresh.localCheckpoint()
     aid = F.col(affected_ids.columns[0])
-    old_f = old_edges.select(*_FINISHED_EDGE_COLS)
+    orig_cols = list(old_edges.columns)
+    old_f = old_edges if return_split \
+        else old_edges.select(*_FINISHED_EDGE_COLS)
     marked = (
         old_f
         .join(broadcast_if_small(affected_ids.select(
@@ -263,26 +276,114 @@ def incremental_edge_update(
     )
     is_touched = (F.col("_sa").isNotNull() | F.col("_ta").isNotNull()
                   | F.col("_k").isNotNull())
-    passthrough = marked.where(~is_touched).select(*_FINISHED_EDGE_COLS)
+    keep = orig_cols if return_split else _FINISHED_EDGE_COLS
+    passthrough = marked.where(~is_touched).select(*keep)
     core = _edge_core(marked.where(is_touched).select(*_FINISHED_EDGE_COLS))
     if relabel_map is not None:
         core = _relabel_core(core, relabel_map)
-    return passthrough.unionByName(
-        _remerge(core.unionByName(fresh), names))
+    merged = _remerge(core.unionByName(fresh), names)
+    if return_split:
+        return passthrough, merged
+    return passthrough.unionByName(merged)
+
+
+def degrees_from_edges(edges: DataFrame) -> DataFrame:
+    """(node, deg): deg = distinct undirected neighbors — THE degree
+    definition every consumer shares (``add_combined_degree``, the nodes
+    table, and the incremental degree state)."""
+    ends = edges.select(F.col("source").alias("node"), F.col("target").alias("other")) \
+        .union(edges.select(F.col("target").alias("node"), F.col("source").alias("other")))
+    return ends.distinct().groupBy("node").agg(F.count("*").alias("deg"))
 
 
 def add_combined_degree(edges: DataFrame) -> DataFrame:
     """combined_degree = degree(source) + degree(target)
     (consumed at gen_agent/sampling.py:287)."""
-    ends = edges.select(F.col("source").alias("node"), F.col("target").alias("other")) \
-        .union(edges.select(F.col("target").alias("node"), F.col("source").alias("other")))
-    deg = ends.distinct().groupBy("node").agg(F.count("*").alias("deg"))
+    deg = degrees_from_edges(edges)
     return (
         edges.join(deg.withColumnRenamed("node", "source")
                       .withColumnRenamed("deg", "_sdeg"), "source")
         .join(deg.withColumnRenamed("node", "target")
                  .withColumnRenamed("deg", "_tdeg"), "target")
         .withColumn("combined_degree", (F.col("_sdeg") + F.col("_tdeg")).cast("bigint"))
+        .drop("_sdeg", "_tdeg")
+    )
+
+
+def widen_degree_affected(old_edges: DataFrame, affected_ids: DataFrame,
+                          relabel_map: DataFrame | None = None) -> DataFrame:
+    """The DEGREE-affected id set D ⊇ affected_ids: a component merge
+    (rep → final) changes the distinct-neighbor count of any node adjacent
+    to the rep — the node loses ``rep`` and gains ``final``, and if it was
+    already adjacent to ``final`` its degree DROPS — even though none of
+    its own labels or titles changed. Routing the edge fold (and the
+    combined_degree passthrough) on the bare affected set would therefore
+    leave stale combined_degree on rows incident to such neighbors. D adds
+    ``neighbors(reps)`` via one column-pruned broadcast-probed scan of the
+    stored edges (reps are batch-scale). Neighbors of finals need no
+    widening: an edge (w, final) keeps ``final`` as w's neighbor, and if w
+    was also adjacent to the rep it is already in neighbors(reps)."""
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
+
+    col = affected_ids.columns[0]
+    if relabel_map is None:
+        return affected_ids
+    reps = broadcast_if_small(
+        relabel_map.select(F.col("rep")).distinct().localCheckpoint())
+    nb = (
+        old_edges.join(reps.withColumnRenamed("rep", "source"), "source")
+        .select(F.col("target").alias(col))
+        .unionByName(
+            old_edges.join(reps.withColumnRenamed("rep", "target"), "target")
+            .select(F.col("source").alias(col)))
+    )
+    return affected_ids.unionByName(nb).distinct()
+
+
+def incremental_degrees(old_degrees: DataFrame, touched_edges: DataFrame,
+                        degree_affected: DataFrame) -> DataFrame:
+    """Fold a routed edge update into the (node, deg) degree state:
+    unaffected nodes pass through via one broadcast-probed anti-join
+    (linear scan of the entity-scale state); nodes in the degree-affected
+    set D recompute from ``touched_edges`` alone — exact because every
+    edge incident to a node in D is routed into the touched set (the row's
+    endpoint IS in the probe set), so the touched rows contain each
+    affected node's COMPLETE edge list. Relabeled reps leave the state:
+    they are in D (excluded from the passthrough) and no touched row names
+    them after the relabel."""
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
+
+    aff = broadcast_if_small(
+        degree_affected.select(
+            F.col(degree_affected.columns[0]).alias("node")).distinct())
+    keep = old_degrees.join(aff, "node", "left_anti")
+    rec = degrees_from_edges(touched_edges).join(aff, "node")
+    return keep.unionByName(rec)
+
+
+def combined_degree_from_state(edges: DataFrame, degrees: DataFrame) -> DataFrame:
+    """Decorate a batch-scale edge frame with combined_degree from the
+    (node, deg) state: the needed ids (the frame's endpoints) semi-join-
+    probe the entity-scale state — one linear scan, batch-scale result —
+    then ride a byte-gated broadcast into the two decoration joins. Row-
+    equivalent to ``add_combined_degree`` whenever ``degrees`` equals
+    ``degrees_from_edges`` over the full edge set."""
+    from deep_reason_spark.functions.broadcast import broadcast_if_small
+
+    need = (
+        edges.select(F.col("source").alias("node"))
+        .unionByName(edges.select(F.col("target").alias("node")))
+        .distinct().localCheckpoint()
+    )
+    nd = broadcast_if_small(
+        degrees.join(broadcast_if_small(need), "node").localCheckpoint())
+    return (
+        edges.join(nd.withColumnRenamed("node", "source")
+                     .withColumnRenamed("deg", "_sdeg"), "source")
+        .join(nd.withColumnRenamed("node", "target")
+                .withColumnRenamed("deg", "_tdeg"), "target")
+        .withColumn("combined_degree",
+                    (F.col("_sdeg") + F.col("_tdeg")).cast("bigint"))
         .drop("_sdeg", "_tdeg")
     )
 

@@ -16,12 +16,26 @@ operators shipped in r5:
    into the stored entity mapping and emits the (rep, final) relabel map;
 3. ``incremental_edge_update`` re-keys the stored edges table through the
    relabel map and folds in the batch-built edge aggregate — one
-   edge-scale pass, zero historical-triple rescans;
-4. nodes rebuild from the merged edge aggregate
-   (``build_nodes_from_edges`` — proven row-equivalent to the corpus-scale
-   build in ``test_graph_nodes.py``); canonical display titles are
-   maintained as entity-scale state (relabel + max-by-length merge, the
-   same reduction the full build applies).
+   edge-scale pass, zero historical-triple rescans. The routing probe set
+   is the DEGREE-affected set D = affected ∪ neighbors(relabeled reps)
+   (``widen_degree_affected``: a merge changes the distinct-neighbor
+   count of the rep's neighbors too), so passthrough rows keep their
+   stored ``combined_degree`` verbatim while touched rows re-decorate
+   from an incrementally-folded (node, deg) state table — no
+   full-edge-table degree shuffle per batch;
+4. node rows can change only for ids in D, so the nodes build runs over
+   the batch-scale touched edges and keeps the D rows
+   (``build_nodes_from_edges`` — proven row-equivalent to the
+   corpus-scale build in ``test_graph_nodes.py``); canonical display
+   titles are maintained as entity-scale state (relabel + longest-name
+   merge, the same reduction the full build applies);
+5. the two bucket-partitioned corpus-scale tables (edges, nodes) stage
+   and swap ONLY the affected ``bucket=`` partitions — buckets(D) plus
+   the stored buckets holding a row whose target is in D, discovered by
+   one column-pruned probe scan. Untouched partitions are neither read
+   by the staged write (partition pruning) nor rewritten
+   (``test_incremental_kg.py`` pins files-not-rewritten), making the
+   per-batch WRITE cost O(affected partitions), not O(graph).
 
 Exactness: every reduction involved is associative (min-id components,
 summed weights, min-per-recoverable-bucket provenance, max-by-length
@@ -43,7 +57,7 @@ in with an atomic directory rename (the lazily-read old table must never
 be overwritten mid-read; a cluster deployment uses a transactional table
 format or the HDFS rename for the same reason). State lives under
 ``out_dir`` next to the stage tables: ``entity_blocks`` (vocabulary-scale)
-and ``entity_titles`` (entity-scale)."""
+``entity_titles`` and ``entity_degrees`` (entity-scale)."""
 
 from __future__ import annotations
 
@@ -63,9 +77,12 @@ from deep_reason_spark.operators.canonicalize import (
     normalize_name,
 )
 from deep_reason_spark.operators.graph import (
-    add_combined_degree,
     build_nodes_from_edges,
+    combined_degree_from_state,
+    degrees_from_edges,
+    incremental_degrees,
     incremental_edge_update,
+    widen_degree_affected,
 )
 from deep_reason_spark.operators.linking import build_surface_map
 from deep_reason_spark.operators.ontology import build_ontology
@@ -88,6 +105,8 @@ from deep_reason_spark.plans.kg_pipeline import (
 
 BLOCKS_DIR = "entity_blocks"
 TITLES_DIR = "entity_titles"
+DEGREES_DIR = "entity_degrees"
+N_BUCKETS = 16  # must match the graph stage's bucketed() writers
 
 
 def _ids_blocks_titles(surface_map: DataFrame):
@@ -126,6 +145,12 @@ def init_incremental_state(
              .alias("title"))
     )
     titles.write.mode("overwrite").parquet(os.path.join(out_dir, TITLES_DIR))
+    # degree state (node → distinct undirected neighbors): lets updates
+    # maintain combined_degree for O(degree-affected) rows instead of the
+    # two full-edge-table shuffle joins add_combined_degree costs
+    degrees_from_edges(
+        spark.read.parquet(os.path.join(out_dir, EDGES_DIR))
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, DEGREES_DIR))
     bump_estimate_epoch()
 
 
@@ -154,6 +179,31 @@ def _swap_in(path: str) -> None:
         shutil.rmtree(old)
 
 
+def _swap_in_buckets(path: str, buckets: list[int]) -> None:
+    """Partition-pruned promotion: replace ONLY the listed ``bucket=``
+    partitions of ``path`` from its staged sibling; untouched partitions
+    (files, not just rows) stay exactly as written by earlier batches. A
+    bucket absent from staging was emptied by the update (every row moved
+    out by a relabel) and is removed. Same rename-level atomicity and the
+    same residual crash window as the table-level ``_swap_in`` — per
+    bucket instead of per table; a transactional catalog commits the
+    partition list in one operation on a cluster."""
+    staging = path + "__staging"
+    for b in buckets:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(path, f"bucket={b}")
+        old = dst + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def run_incremental_kg_update(
     spark: SparkSession,
     new_triples: DataFrame,
@@ -167,7 +217,7 @@ def run_incremental_kg_update(
 ) -> tuple[DataFrame, DataFrame]:
     """Fold ``new_triples`` into the graph-stage tables at ``out_dir``
     (requires ``init_incremental_state`` once beforehand). Refreshes ALL
-    ten ``run_graph_stage`` tables plus the two state tables; returns the
+    ten ``run_graph_stage`` tables plus the three state tables; returns the
     refreshed (nodes, edges) readers, matching ``run_graph_stage``.
     ``entity_types`` / ``community_*`` mirror the full stage's knobs and
     must be passed the same values the initial build used, or the derived
@@ -188,8 +238,18 @@ def run_incremental_kg_update(
     mapping = spark.read.parquet(os.path.join(out_dir, MAPPING_DIR))
     old_blocks = spark.read.parquet(os.path.join(out_dir, BLOCKS_DIR))
     old_titles = spark.read.parquet(os.path.join(out_dir, TITLES_DIR))
-    old_edges = spark.read.parquet(
-        os.path.join(out_dir, EDGES_DIR)).drop("bucket")
+    # keep the storage partition column AND the stored combined_degree:
+    # both are reused verbatim on passthrough rows (partition pruning +
+    # degree passthrough — see the routed split below)
+    old_edges = spark.read.parquet(os.path.join(out_dir, EDGES_DIR))
+    old_nodes = spark.read.parquet(os.path.join(out_dir, NODES_DIR))
+    degrees_path = os.path.join(out_dir, DEGREES_DIR)
+    if os.path.exists(degrees_path):
+        old_degrees = spark.read.parquet(degrees_path)
+    else:
+        # state written by a pre-degree init: one-time full derivation
+        # (every later batch folds incrementally)
+        old_degrees = degrees_from_edges(old_edges)
 
     # ---- batch-scale entity work ------------------------------------------
     sm = build_surface_map(new_triples, alias_dict).localCheckpoint()
@@ -286,26 +346,71 @@ def run_incremental_kg_update(
     # ---- edges: routed relabel + fold ---------------------------------------
     # affected ids = every canonical id whose label or title can have
     # changed this batch: relabel reps + finals and all batch entity ids.
-    # With this set, incremental_edge_update passes the untouched stored
-    # bulk through AS STORED (broadcast-probed linear scan) and re-
-    # aggregates only colliding/affected rows — the r5 profile showed the
-    # unrouted full re-aggregation (provenance explode + name re-join over
-    # every historical edge) costing 11.5 s of a 24.5 s update at 11M
-    # triples, i.e. the update degenerating back to O(edge table shuffle).
+    # Widened to the DEGREE-affected set D (+ neighbors of relabeled reps
+    # — a merge changes THEIR distinct-neighbor counts too, see
+    # widen_degree_affected), D routes the fold: incremental_edge_update
+    # passes the untouched stored bulk through AS STORED (broadcast-probed
+    # linear scan) and re-aggregates only colliding/affected rows — the r5
+    # profile showed the unrouted full re-aggregation (provenance explode
+    # + name re-join over every historical edge) costing 11.5 s of a
+    # 24.5 s update at 11M triples, i.e. the update degenerating back to
+    # O(edge table shuffle).
     affected = (
         delta.select(F.col("rep").alias("aid"))
         .unionByName(delta.select(F.col("final").alias("aid")))
         .unionByName(batch_canon.select(F.col("canonical_id").alias("aid")))
         .distinct().localCheckpoint()
     )
+    if delta.limit(1).count() > 0:
+        # the widening scan only pays off when a relabel happened
+        affected = widen_degree_affected(
+            old_edges.select("source", "target"), affected, relabel_map=delta,
+        ).localCheckpoint()
     names = new_titles.withColumnRenamed("title", "name")
-    edge_agg = incremental_edge_update(
+    pass_rows, touched = incremental_edge_update(
         old_edges, canonical_new, relabel_map=delta, names=names,
-        affected_ids=affected,
-    ).localCheckpoint()  # one cheap materialization (linear passthrough +
-    # batch-scale remerge); consumed by degree, nodes and the edge write
+        affected_ids=affected, return_split=True,
+    )
+    touched = touched.localCheckpoint()  # batch+affected-scale: feeds the
+    # degree fold, the combined-degree decoration, the dirty-node build
+    # and the pruned edge write — the only per-batch materialization; the
+    # passthrough stays a LAZY probe-scan of the stored parquet (each
+    # global consumer re-scans storage instead of re-writing an edge-scale
+    # checkpoint every batch)
+    edge_agg = pass_rows.select(*touched.columns).unionByName(touched)
     _lap("edge_agg")
-    edges_out = add_combined_degree(edge_agg)
+
+    # ---- degrees: state fold + decoration (O(D), not two full shuffles) ----
+    new_degrees = incremental_degrees(
+        old_degrees, touched, affected).localCheckpoint()
+    touched_out = combined_degree_from_state(touched, new_degrees)
+    _lap("degrees")
+
+    # ---- pruned write sets: which bucket partitions can contain a changed
+    # row. Sources in D hash into buckets(D) (covers relabel destinations
+    # and all batch rows); stored rows whose TARGET is in D but source is
+    # not sit in arbitrary buckets — one column-pruned probe scan of
+    # (target, bucket) discovers them. Everything outside these partitions
+    # is byte-identical by the passthrough guarantee and is neither read
+    # by the staged write (partition pruning) nor rewritten.
+    _bucket = F.pmod(F.xxhash64(F.col("aid")), F.lit(N_BUCKETS)).cast("int")
+    d_buckets = {
+        r["b"] for r in
+        affected.select(_bucket.alias("b")).distinct().collect()
+    }
+    tgt_buckets = {
+        r["bucket"] for r in old_edges
+        .join(broadcast_if_small(
+            affected.withColumnRenamed("aid", "target")), "target")
+        .select("bucket").distinct().collect()
+    }
+    edge_buckets = sorted(d_buckets | tgt_buckets)
+    node_buckets = sorted(d_buckets)
+    edges_staged = (
+        pass_rows.where(F.col("bucket").isin(edge_buckets)).drop("bucket")
+        .unionByName(touched_out)
+    )
+    _lap("buckets")
 
     # ---- derived tables: SHARED builders over the pinned edge_agg ----------
     # communities / ontology / KgStructure / nodes all derive from the
@@ -340,13 +445,35 @@ def run_incremental_kg_update(
         edge_agg, min_weight=community_min_weight,
         max_degree=community_max_degree, salt=salt)))
     fut_onto = build_pool.submit(_pooled("ontology", _onto_cp))
+    # node rows can change ONLY for ids in D (frequency/degree/description
+    # aggregate incident edges — all routed into `touched` for D-nodes;
+    # titles/types change only inside D by construction), so the build
+    # runs over the batch-scale touched set and keeps the D rows; the
+    # stored bulk passes through below, partition-pruned
     fut_nodes = build_pool.submit(_pooled("nodes", lambda: (
-        build_nodes_from_edges(edge_agg, new_titles,
+        build_nodes_from_edges(touched, new_titles,
                                entity_types=canonical_types)
+        .join(broadcast_if_small(affected.withColumnRenamed("aid", "id")),
+              "id")
         .localCheckpoint())))
     _lap("builds")  # submission only — the build futures resolve under
     # the write wave, so their wall rides in inc.writes (BASELINE.md
     # "builds (submission)" row; same reading rule as graph.builds)
+
+    def _nodes_keep(pruned: bool):
+        keep = old_nodes.where(F.col("bucket").isin(node_buckets)) \
+            if pruned else old_nodes
+        return keep.drop("bucket").join(
+            broadcast_if_small(affected.withColumnRenamed("aid", "id")),
+            "id", "left_anti")
+
+    def _nodes_staged():
+        return _nodes_keep(pruned=True).unionByName(fut_nodes.result())
+
+    def _full_nodes():
+        # lazy full view (stored bulk ∪ dirty) for the entity-scale
+        # kg_nodes projection, which is not bucket-stored
+        return _nodes_keep(pruned=False).unionByName(fut_nodes.result())
 
     # ---- blocks state: min is associative ----------------------------------
     merged_blocks = (
@@ -379,18 +506,21 @@ def run_incremental_kg_update(
         (lambda: new_mapping, MAPPING_DIR, plain),
         (lambda: merged_blocks, BLOCKS_DIR, vocab),
         (lambda: new_titles, TITLES_DIR, plain),
-        (lambda: edges_out, EDGES_DIR, bucketed("source")),
-        (lambda: fut_nodes.result(), NODES_DIR, bucketed("id")),
+        (lambda: new_degrees, DEGREES_DIR, plain),
+        (lambda: edges_staged, EDGES_DIR, bucketed("source")),
+        (lambda: _nodes_staged(), NODES_DIR, bucketed("id")),
         (lambda: fut_onto.result()[0], ONTOLOGY_NODES_DIR, vocab),
         (lambda: fut_onto.result()[1], ONTOLOGY_RELATIONS_DIR, vocab),
         (lambda: fut_onto.result()[2], ONTOLOGY_CONNECTIONS_DIR, vocab),
-        (lambda: kg_nodes_table(fut_nodes.result()), KG_NODES_DIR, plain),
+        (lambda: kg_nodes_table(_full_nodes()), KG_NODES_DIR, plain),
         (lambda: kg_triplets_table(edge_pairs, ctypes, fut_onto.result()[1]),
          KG_TRIPLETS_DIR, plain),
         (lambda: fut_comm.result()[0], COMMUNITIES_DIR, plain),
         (lambda: fut_comm.result()[1], COMMUNITY_REPORTS_DIR, plain),
     ]
-    swap_dirs = [dir_ for _t, dir_, _w in wave]
+    # edges/nodes promote per affected bucket partition; the rest per table
+    pruned_swaps = {EDGES_DIR: edge_buckets, NODES_DIR: node_buckets}
+    swap_dirs = [dir_ for _t, dir_, _w in wave if dir_ not in pruned_swaps]
     try:
         with ThreadPoolExecutor(max_workers=len(wave)) as side:
             futs = [
@@ -413,6 +543,8 @@ def run_incremental_kg_update(
     _lap("writes")
     for dir_ in swap_dirs:
         _swap_in(os.path.join(out_dir, dir_))
+    for dir_, buckets in pruned_swaps.items():
+        _swap_in_buckets(os.path.join(out_dir, dir_), buckets)
     bump_estimate_epoch()
     return (
         spark.read.parquet(os.path.join(out_dir, NODES_DIR)).drop("bucket"),

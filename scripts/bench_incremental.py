@@ -16,8 +16,14 @@ Methodology (bench-discipline rules from BASELINE.md):
 - loadavg is sampled before each timed leg; compare legs only within a
   quiet window.
 
-Usage: python scripts/bench_incremental.py [n_files ...]  (default
-30000 300000). Prints one JSON line per corpus size and a summary line.
+Usage: python scripts/bench_incremental.py [--grow] [n_files ...]
+(default 30000 300000). ``--grow`` switches the corpus to the
+entity-GROWTH regime (datagen ``extra_entities = n_files // 3``): the base
+vocabulary saturates at ~1,080 entities, putting every batch in the
+adversarial worst case where D covers the whole graph; real web corpora
+grow entities with the corpus, which is the regime the routed fold and the
+partition-pruned writes are designed for. Prints one JSON line per corpus
+size and a summary line.
 """
 
 from __future__ import annotations
@@ -33,7 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [30_000, 300_000]
+    args = sys.argv[1:]
+    grow = "--grow" in args
+    sizes = [int(a) for a in args if a != "--grow"] or [30_000, 300_000]
     from pyspark.sql import functions as F
 
     from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
@@ -59,7 +67,8 @@ def main() -> int:
         full corpus would charge every batch-side scan a corpus-wide read
         and taint the incremental timing. Returns (triples, base, batch)."""
         extract_triples(
-            chunk_repo_files(generate_repo_files(spark, n))
+            chunk_repo_files(generate_repo_files(
+                spark, n, extra_entities=(n // 3 if grow else 0)))
         ).write.parquet(os.path.join(work, "triples"))
         full = spark.read.parquet(os.path.join(work, "triples"))
         is_batch = F.pmod(F.xxhash64("document_id"), F.lit(10)) == 0
@@ -109,6 +118,7 @@ def main() -> int:
             shutil.rmtree(work, ignore_errors=True)
         row = {
             "n_files": n, "n_triples": n_triples, "batch_triples": n_batch,
+            "entity_regime": "growth" if grow else "saturated",
             "full_rebuild_sec": round(t_full, 2),
             "incremental_sec": round(t_inc, 2),
             "speedup": round(t_full / t_inc, 2),

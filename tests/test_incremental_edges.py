@@ -183,6 +183,75 @@ def test_node_tables_ride_the_merged_edges(spark):
     assert got == want
 
 
+def test_degree_widening_covers_neighbor_merges(spark):
+    """A component merge (rep → final) DECREASES deg(u) for any u adjacent
+    to BOTH — yet u is in no batch and no relabel row, so routing
+    combined_degree on the bare affected set leaves u's other rows stale.
+    The widened set D = affected ∪ neighbors(reps), the degree-state fold
+    and the state-probe decoration must together equal the full
+    ``add_combined_degree`` recompute; the bare set must NOT (the negative
+    control documents why the widening exists)."""
+    from deep_reason_spark.operators.graph import (
+        add_combined_degree,
+        combined_degree_from_state,
+        degrees_from_edges,
+        incremental_degrees,
+        widen_degree_affected,
+    )
+
+    stored = spark.createDataFrame(
+        [("u", "rep", "r", "d1", 1, "u", "rep"),
+         ("u", "fin", "r", "d2", 1, "u", "fin"),
+         ("w", "u", "r", "d3", 1, "w", "u"),      # w: both endpoints ∉ bare
+         ("x", "rep", "r", "d4", 1, "x", "rep")],  # x: neighbor of rep only
+        TRIPLE_COLS,
+    )
+    relabel = spark.createDataFrame([("rep", "fin")], "rep string, final string")
+    relabelled = stored.replace({"rep": "fin"},
+                                subset=["src", "dst", "subject_canonical",
+                                        "object_canonical"])
+    names = _names_of(relabelled)
+    empty_batch = spark.createDataFrame([], TRIPLE_COLS)
+
+    old = add_combined_degree(build_edges(stored, names=names)).localCheckpoint()
+    want = add_combined_degree(build_edges(relabelled, names=names))
+    want_rows = sorted((r["source"], r["target"], r["weight"],
+                        r["combined_degree"]) for r in want.collect())
+
+    def fold(aff):
+        pass_rows, touched = incremental_edge_update(
+            old, empty_batch, relabel_map=relabel, names=names,
+            affected_ids=aff, return_split=True)
+        new_degs = incremental_degrees(degrees_from_edges(old), touched, aff)
+        got = pass_rows.unionByName(
+            combined_degree_from_state(touched, new_degs))
+        return got, new_degs
+
+    bare = relabel.select(F.col("rep").alias("aid")).unionByName(
+        relabel.select(F.col("final").alias("aid"))).distinct().localCheckpoint()
+    widened = widen_degree_affected(
+        old.select("source", "target"), bare, relabel_map=relabel,
+    ).localCheckpoint()
+    assert {r["aid"] for r in widened.collect()} == {"rep", "fin", "u", "x"}
+
+    got, new_degs = fold(widened)
+    got_rows = sorted((r["source"], r["target"], r["weight"],
+                       r["combined_degree"]) for r in got.collect())
+    assert got_rows == want_rows
+    # the folded degree state equals a from-scratch derivation
+    assert sorted(map(tuple, new_degs.collect())) == \
+        sorted(map(tuple, degrees_from_edges(want).collect()))
+
+    # negative control: the BARE set leaves (w, u) with the stale stored
+    # combined_degree (deg(u) was 3, is now 2)
+    stale, _ = fold(bare)
+    stale_rows = sorted((r["source"], r["target"], r["weight"],
+                         r["combined_degree"]) for r in stale.collect())
+    assert stale_rows != want_rows
+    assert ("w", "u", 1.0, 4) in stale_rows      # stored cd: old deg(u)=3
+    assert ("w", "u", 1.0, 3) in got_rows        # true cd: deg(u) dropped to 2
+
+
 def test_merge_without_names_uses_key_fallback(spark):
     t = spark.createDataFrame(
         [("a", "x", "r", "d1", 1, "a", "x")], TRIPLE_COLS)

@@ -131,6 +131,66 @@ def test_failed_staging_write_leaves_stored_graph_untouched(
     _assert_all_tables_equal(spark, out, full_dir)
 
 
+def test_untouched_bucket_partitions_are_not_rewritten(spark, tmp_path):
+    """Partition-pruned writes: a batch introducing two brand-new entities
+    must rewrite ONLY the bucket partitions that can contain a changed
+    edge/node row — every other bucket's FILES (names + mtimes, not just
+    rows) stay exactly as earlier batches wrote them. At web scale this is
+    the difference between per-batch write cost O(affected partitions) and
+    O(graph)."""
+    from deep_reason_spark.datagen import REPO_FILES_SCHEMA
+    from deep_reason_spark.operators.graph import degrees_from_edges
+    from deep_reason_spark.plans.incremental_kg import DEGREES_DIR
+
+    alias_dict = alias_dict_df(spark)
+    base_files = generate_repo_files(spark, 60).localCheckpoint()
+    base = extract_triples(chunk_repo_files(base_files)).localCheckpoint()
+    out = str(tmp_path / "g")
+    run_graph_stage(spark, base, alias_dict, out)
+    init_incremental_state(spark, base, alias_dict, out)
+
+    def snap(table):
+        root = os.path.join(out, table)
+        files = {}
+        for b in os.listdir(root):
+            if not b.startswith("bucket="):
+                continue
+            d = os.path.join(root, b)
+            files[b] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet"))
+        return files
+
+    before = {t: snap(t) for t in ("edges", "nodes")}
+
+    # two synthetic entities unknown to the alias dict and to the base
+    # corpus: no relabel, affected set = the two new ids
+    batch_files = spark.createDataFrame(
+        [("org0/proj0", "src/new/file_x.md", "c" * 40, "md",
+          "Zorwex Quofen maintains Mulbal Tarpim.")], REPO_FILES_SCHEMA)
+    batch = extract_triples(chunk_repo_files(batch_files)).localCheckpoint()
+    assert batch.count() == 1
+    run_incremental_kg_update(spark, batch, alias_dict, out)
+
+    after = {t: snap(t) for t in ("edges", "nodes")}
+    for t in ("edges", "nodes"):
+        changed = [b for b in before[t] if after[t].get(b) != before[t][b]]
+        untouched = [b for b in before[t] if after[t].get(b) == before[t][b]]
+        assert len(changed) <= 4, (t, changed)
+        assert len(untouched) >= 12, (t, untouched)
+
+    # correctness is not traded away: every table equals the full rebuild
+    full_dir = str(tmp_path / "full")
+    run_graph_stage(spark, base.unionByName(batch), alias_dict, full_dir)
+    _assert_all_tables_equal(spark, out, full_dir)
+    # and the degree state equals a from-scratch derivation
+    stored_degs = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out, DEGREES_DIR)).collect()))
+    fresh_degs = sorted(map(tuple, degrees_from_edges(
+        spark.read.parquet(os.path.join(out, "edges"))).collect()))
+    assert stored_degs == fresh_degs
+
+
 def test_second_batch_folds_onto_updated_state(spark, tmp_path):
     """The update is re-appliable: state written by one update round is the
     input of the next (three waves == one full rebuild), across all ten
