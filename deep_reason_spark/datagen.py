@@ -53,18 +53,27 @@ _PREDS = sorted(SIMPLE_PREDICATES)
 # vocab saturates at ~1,080 entities, so at large n_files EVERY update
 # batch touches every entity — the adversarial worst case for incremental
 # maintenance (VERDICT r4 noted the routed passthrough moves ~0 rows
-# there). Real web corpora grow entities with the corpus; `extra_entities`
-# models that: a share of simple facts draws both endpoints from a
-# generated pool of that size. Names are letters-only capitalized pairs
-# (they must match extractor.ENTITY_RE) and injective in k below 160,000.
+# there). Real web corpora grow entities with the corpus AND distribute
+# them long-tail: a new document introduces a few entities of its own and
+# links them to entities of nearby documents — it does not sample the
+# whole catalog uniformly (uniform draws make every batch touch every
+# entity, which is just the saturated regime again). `extra_entities`
+# models that: half of the simple facts draw their SUBJECT from the
+# file's own 8-id neighborhood and their OBJECT from its own or the next
+# file's, over a generated pool of `extra_entities` names (pass
+# 8 × n_files so the per-file neighborhoods tile the pool; a 10%-file
+# batch then touches ~15% of the catalog — sparse). Names are letters-only
+# capitalized pairs (they must match extractor.ENTITY_RE) and injective in
+# k below 64,000,000.
 _SYL = ["zor", "vek", "mul", "tar", "quo", "fen", "rish", "bal", "nog",
         "wex", "pim", "dru", "sav", "kol", "yen", "gar", "hax", "lom",
         "tiv", "ruz"]
 
 
 def synth_entity(k: int) -> str:
-    a = _SYL[k % 20] + _SYL[(k // 20) % 20]
-    b = _SYL[(k // 400) % 20] + _SYL[(k // 8000) % 20]
+    a = _SYL[k % 20] + _SYL[(k // 20) % 20] + _SYL[(k // 400) % 20]
+    b = (_SYL[(k // 8000) % 20] + _SYL[(k // 160_000) % 20]
+         + _SYL[(k // 3_200_000) % 20])
     return f"{a.capitalize()} {b.capitalize()}"
 
 
@@ -118,13 +127,22 @@ def _build_file(
             kind = det_int("kind", file_id, p, s) % 10
             if (kind < 7 and extra_entities
                     and det_int("sgrow", file_id, p, s) % 2 == 0):
-                # entity-growth fact: both endpoints from the synthetic pool
+                # entity-growth fact: long-tail locality — subject from the
+                # file's own 8-id neighborhood, object from its own or the
+                # next file's (cross-document edges without uniform
+                # whole-catalog sampling)
                 pred = _PREDS[det_int("pred", file_id, p, s) % len(_PREDS)]
-                subj = synth_entity(det_int("ssub", file_id, p, s) % extra_entities)
-                obj = synth_entity(det_int("sobj", file_id, p, s) % extra_entities)
+                subj = synth_entity(
+                    (8 * file_id + det_int("ssub", file_id, p, s) % 8)
+                    % extra_entities)
+                nbr = (file_id + det_int("snbr", file_id, p, s) % 2) % n_files
+                obj = synth_entity(
+                    (8 * nbr + det_int("sobj", file_id, p, s) % 8)
+                    % extra_entities)
                 if subj == obj:
                     obj = synth_entity(
-                        (det_int("sobj", file_id, p, s) + 1) % extra_entities)
+                        (8 * nbr + (det_int("sobj", file_id, p, s) + 1) % 8)
+                        % extra_entities)
                 sentences.append(f"{subj} {pred} {obj}.")
                 triples.append({"subject": subj, "predicate": pred, "object": obj,
                                 "document_id": document_id, "order_id": p})

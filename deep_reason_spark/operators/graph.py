@@ -296,10 +296,11 @@ def degrees_from_edges(edges: DataFrame) -> DataFrame:
     return ends.distinct().groupBy("node").agg(F.count("*").alias("deg"))
 
 
-def add_combined_degree(edges: DataFrame) -> DataFrame:
-    """combined_degree = degree(source) + degree(target)
-    (consumed at gen_agent/sampling.py:287)."""
-    deg = degrees_from_edges(edges)
+def decorate_combined_degree(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Join a (node, deg) table onto both endpoints:
+    combined_degree = deg(source) + deg(target). Exact whenever ``deg``
+    equals ``degrees_from_edges`` over the full edge set ``edges`` came
+    from."""
     return (
         edges.join(deg.withColumnRenamed("node", "source")
                       .withColumnRenamed("deg", "_sdeg"), "source")
@@ -308,6 +309,12 @@ def add_combined_degree(edges: DataFrame) -> DataFrame:
         .withColumn("combined_degree", (F.col("_sdeg") + F.col("_tdeg")).cast("bigint"))
         .drop("_sdeg", "_tdeg")
     )
+
+
+def add_combined_degree(edges: DataFrame) -> DataFrame:
+    """combined_degree = degree(source) + degree(target)
+    (consumed at gen_agent/sampling.py:287)."""
+    return decorate_combined_degree(edges, degrees_from_edges(edges))
 
 
 def widen_degree_affected(old_edges: DataFrame, affected_ids: DataFrame,

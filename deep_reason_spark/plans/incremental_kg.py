@@ -79,6 +79,7 @@ from deep_reason_spark.operators.canonicalize import (
 from deep_reason_spark.operators.graph import (
     build_nodes_from_edges,
     combined_degree_from_state,
+    decorate_combined_degree,
     degrees_from_edges,
     incremental_degrees,
     incremental_edge_update,
@@ -88,6 +89,7 @@ from deep_reason_spark.operators.linking import build_surface_map
 from deep_reason_spark.operators.ontology import build_ontology
 from deep_reason_spark.plans.kg_pipeline import (
     COMMUNITIES_DIR,
+    N_BUCKETS,
     COMMUNITY_REPORTS_DIR,
     EDGES_DIR,
     KG_NODES_DIR,
@@ -106,7 +108,12 @@ from deep_reason_spark.plans.kg_pipeline import (
 BLOCKS_DIR = "entity_blocks"
 TITLES_DIR = "entity_titles"
 DEGREES_DIR = "entity_degrees"
-N_BUCKETS = 16  # must match the graph stage's bucketed() writers
+# two-regime threshold: a batch whose affected-id count reaches this
+# fraction of all stored entities is DENSE — per-row routing and partition
+# pruning cannot help (most partitions are dirty anyway) and their probe /
+# state-fold overhead runs at full scale, so the update takes the global
+# path instead. Mirrors SMALL_CC_EDGES / SMALL_MMR_CANDIDATES.
+DENSE_AFFECTED_FRACTION = 0.3
 
 
 def _ids_blocks_titles(surface_map: DataFrame):
@@ -361,56 +368,81 @@ def run_incremental_kg_update(
         .unionByName(batch_canon.select(F.col("canonical_id").alias("aid")))
         .distinct().localCheckpoint()
     )
-    if delta.limit(1).count() > 0:
+    # two-regime routing (the CC / greedy-MMR pattern): a DENSE batch —
+    # affected ids a large fraction of all entities (bootstrap-like loads,
+    # entity-saturated corpora) — gains nothing from per-row routing or
+    # partition pruning while paying their probe/fold overhead at full
+    # scale, so it takes the global path: one routed fold, one global
+    # degree derivation, full-table writes. Sparse real-world batches
+    # (entities grow with the corpus; a batch touches a small fraction)
+    # take the O(affected) path below.
+    n_affected = affected.count()
+    n_entities = old_degrees.count()
+    dense = n_affected >= DENSE_AFFECTED_FRACTION * max(n_entities, 1)
+    if not dense and delta.limit(1).count() > 0:
         # the widening scan only pays off when a relabel happened
         affected = widen_degree_affected(
             old_edges.select("source", "target"), affected, relabel_map=delta,
         ).localCheckpoint()
     names = new_titles.withColumnRenamed("title", "name")
-    pass_rows, touched = incremental_edge_update(
-        old_edges, canonical_new, relabel_map=delta, names=names,
-        affected_ids=affected, return_split=True,
-    )
-    touched = touched.localCheckpoint()  # batch+affected-scale: feeds the
-    # degree fold, the combined-degree decoration, the dirty-node build
-    # and the pruned edge write — the only per-batch materialization; the
-    # passthrough stays a LAZY probe-scan of the stored parquet (each
-    # global consumer re-scans storage instead of re-writing an edge-scale
-    # checkpoint every batch)
-    edge_agg = pass_rows.select(*touched.columns).unionByName(touched)
-    _lap("edge_agg")
+    if dense:
+        edge_agg = incremental_edge_update(
+            old_edges, canonical_new, relabel_map=delta, names=names,
+            affected_ids=affected,
+        ).localCheckpoint()
+        touched = None
+        _lap("edge_agg")
+        new_degrees = degrees_from_edges(edge_agg).localCheckpoint()
+        edges_staged = decorate_combined_degree(edge_agg, new_degrees)
+        _lap("degrees")
+        edge_buckets = node_buckets = list(range(N_BUCKETS))
+        _lap("buckets")
+    else:
+        pass_rows, touched = incremental_edge_update(
+            old_edges, canonical_new, relabel_map=delta, names=names,
+            affected_ids=affected, return_split=True,
+        )
+        touched = touched.localCheckpoint()  # batch+affected-scale: feeds
+        # the degree fold, the combined-degree decoration, the dirty-node
+        # build and the pruned edge write — the only per-batch
+        # materialization; the passthrough stays a LAZY probe-scan of the
+        # stored parquet (each global consumer re-scans storage instead of
+        # re-writing an edge-scale checkpoint every batch)
+        edge_agg = pass_rows.select(*touched.columns).unionByName(touched)
+        _lap("edge_agg")
 
-    # ---- degrees: state fold + decoration (O(D), not two full shuffles) ----
-    new_degrees = incremental_degrees(
-        old_degrees, touched, affected).localCheckpoint()
-    touched_out = combined_degree_from_state(touched, new_degrees)
-    _lap("degrees")
+        # ---- degrees: state fold + decoration (O(D), no full shuffles) ----
+        new_degrees = incremental_degrees(
+            old_degrees, touched, affected).localCheckpoint()
+        touched_out = combined_degree_from_state(touched, new_degrees)
+        _lap("degrees")
 
-    # ---- pruned write sets: which bucket partitions can contain a changed
-    # row. Sources in D hash into buckets(D) (covers relabel destinations
-    # and all batch rows); stored rows whose TARGET is in D but source is
-    # not sit in arbitrary buckets — one column-pruned probe scan of
-    # (target, bucket) discovers them. Everything outside these partitions
-    # is byte-identical by the passthrough guarantee and is neither read
-    # by the staged write (partition pruning) nor rewritten.
-    _bucket = F.pmod(F.xxhash64(F.col("aid")), F.lit(N_BUCKETS)).cast("int")
-    d_buckets = {
-        r["b"] for r in
-        affected.select(_bucket.alias("b")).distinct().collect()
-    }
-    tgt_buckets = {
-        r["bucket"] for r in old_edges
-        .join(broadcast_if_small(
-            affected.withColumnRenamed("aid", "target")), "target")
-        .select("bucket").distinct().collect()
-    }
-    edge_buckets = sorted(d_buckets | tgt_buckets)
-    node_buckets = sorted(d_buckets)
-    edges_staged = (
-        pass_rows.where(F.col("bucket").isin(edge_buckets)).drop("bucket")
-        .unionByName(touched_out)
-    )
-    _lap("buckets")
+        # ---- pruned write sets: which bucket partitions can contain a
+        # changed row. Sources in D hash into buckets(D) (covers relabel
+        # destinations and all batch rows); stored rows whose TARGET is in
+        # D but source is not sit in arbitrary buckets — one column-pruned
+        # probe scan of (target, bucket) discovers them. Everything outside
+        # these partitions is byte-identical by the passthrough guarantee
+        # and is neither read by the staged write (partition pruning) nor
+        # rewritten.
+        _bucket = F.pmod(F.xxhash64(F.col("aid")), F.lit(N_BUCKETS)).cast("int")
+        d_buckets = {
+            r["b"] for r in
+            affected.select(_bucket.alias("b")).distinct().collect()
+        }
+        tgt_buckets = {
+            r["bucket"] for r in old_edges
+            .join(broadcast_if_small(
+                affected.withColumnRenamed("aid", "target")), "target")
+            .select("bucket").distinct().collect()
+        }
+        edge_buckets = sorted(d_buckets | tgt_buckets)
+        node_buckets = sorted(d_buckets)
+        edges_staged = (
+            pass_rows.where(F.col("bucket").isin(edge_buckets)).drop("bucket")
+            .unionByName(touched_out)
+        )
+        _lap("buckets")
 
     # ---- derived tables: SHARED builders over the pinned edge_agg ----------
     # communities / ontology / KgStructure / nodes all derive from the
@@ -447,15 +479,23 @@ def run_incremental_kg_update(
     fut_onto = build_pool.submit(_pooled("ontology", _onto_cp))
     # node rows can change ONLY for ids in D (frequency/degree/description
     # aggregate incident edges — all routed into `touched` for D-nodes;
-    # titles/types change only inside D by construction), so the build
-    # runs over the batch-scale touched set and keeps the D rows; the
-    # stored bulk passes through below, partition-pruned
-    fut_nodes = build_pool.submit(_pooled("nodes", lambda: (
-        build_nodes_from_edges(touched, new_titles,
-                               entity_types=canonical_types)
-        .join(broadcast_if_small(affected.withColumnRenamed("aid", "id")),
-              "id")
-        .localCheckpoint())))
+    # titles/types change only inside D by construction), so the sparse
+    # build runs over the batch-scale touched set and keeps the D rows,
+    # with the stored bulk passing through below, partition-pruned; the
+    # dense regime builds from the full aggregate like the full stage
+    def _node_build():
+        if dense:
+            return build_nodes_from_edges(
+                edge_agg, new_titles,
+                entity_types=canonical_types).localCheckpoint()
+        return (
+            build_nodes_from_edges(touched, new_titles,
+                                   entity_types=canonical_types)
+            .join(broadcast_if_small(affected.withColumnRenamed("aid", "id")),
+                  "id")
+            .localCheckpoint())
+
+    fut_nodes = build_pool.submit(_pooled("nodes", _node_build))
     _lap("builds")  # submission only — the build futures resolve under
     # the write wave, so their wall rides in inc.writes (BASELINE.md
     # "builds (submission)" row; same reading rule as graph.builds)
@@ -468,11 +508,15 @@ def run_incremental_kg_update(
             "id", "left_anti")
 
     def _nodes_staged():
+        if dense:
+            return fut_nodes.result()
         return _nodes_keep(pruned=True).unionByName(fut_nodes.result())
 
     def _full_nodes():
         # lazy full view (stored bulk ∪ dirty) for the entity-scale
         # kg_nodes projection, which is not bucket-stored
+        if dense:
+            return fut_nodes.result()
         return _nodes_keep(pruned=False).unionByName(fut_nodes.result())
 
     # ---- blocks state: min is associative ----------------------------------
@@ -492,7 +536,7 @@ def run_incremental_kg_update(
         def w(df, path):
             write_partitioned(
                 df.withColumn("bucket",
-                              F.pmod(F.xxhash64(key), F.lit(16)).cast("int")),
+                              F.pmod(F.xxhash64(key), F.lit(N_BUCKETS)).cast("int")),
                 path)
         return w
 

@@ -53,6 +53,13 @@ from deep_reason_spark.sources.checkpoint import (
 TRIPLES_DIR = "triples"
 NODES_DIR = "nodes"
 EDGES_DIR = "edges"
+# bucket count for the two hash-partitioned corpus-scale tables (edges
+# by source, nodes by id). 16 keeps local test tables readable; a
+# cluster deployment raises it (e.g. 4096) so the incremental plan's
+# partition-pruned writes touch a small fraction per batch — both the
+# full stage and incremental_kg read THIS constant, so they can never
+# disagree on the layout.
+N_BUCKETS = 16
 MAPPING_DIR = "entity_mapping"
 ONTOLOGY_NODES_DIR = "ontology_nodes"
 ONTOLOGY_RELATIONS_DIR = "ontology_relations"
@@ -463,12 +470,12 @@ def run_graph_stage(
         (MAPPING_DIR, lambda: _write_plain(MAPPING_DIR, mapping)),
         (NODES_DIR, lambda: write_partitioned(
             fut_nodes.result().withColumn(
-                "bucket", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int")),
+                "bucket", F.pmod(F.xxhash64("id"), F.lit(N_BUCKETS)).cast("int")),
             os.path.join(out_dir, NODES_DIR),
         )),
         (EDGES_DIR, lambda: write_partitioned(
             edges.withColumn(
-                "bucket", F.pmod(F.xxhash64("source"), F.lit(16)).cast("int")),
+                "bucket", F.pmod(F.xxhash64("source"), F.lit(N_BUCKETS)).cast("int")),
             os.path.join(out_dir, EDGES_DIR),
         )),
     ]

@@ -18,11 +18,13 @@ Methodology (bench-discipline rules from BASELINE.md):
 
 Usage: python scripts/bench_incremental.py [--grow] [n_files ...]
 (default 30000 300000). ``--grow`` switches the corpus to the
-entity-GROWTH regime (datagen ``extra_entities = n_files // 3``): the base
-vocabulary saturates at ~1,080 entities, putting every batch in the
-adversarial worst case where D covers the whole graph; real web corpora
-grow entities with the corpus, which is the regime the routed fold and the
-partition-pruned writes are designed for. Prints one JSON line per corpus
+entity-GROWTH regime (datagen ``extra_entities = 8 * n_files``, file-local
+long-tail draws): the base vocabulary saturates at ~1,080 entities, putting
+every batch in the adversarial worst case where the affected set covers the
+whole graph (the DENSE regime, handled by the global fallback); real web
+corpora grow entities with the corpus and a batch touches a batch-sized
+fraction of them — the regime the routed fold, the degree-state fold and
+the partition-pruned writes are designed for. Prints one JSON line per corpus
 size and a summary line.
 """
 
@@ -68,7 +70,7 @@ def main() -> int:
         and taint the incremental timing. Returns (triples, base, batch)."""
         extract_triples(
             chunk_repo_files(generate_repo_files(
-                spark, n, extra_entities=(n // 3 if grow else 0)))
+                spark, n, extra_entities=(8 * n if grow else 0)))
         ).write.parquet(os.path.join(work, "triples"))
         full = spark.read.parquet(os.path.join(work, "triples"))
         is_batch = F.pmod(F.xxhash64("document_id"), F.lit(10)) == 0

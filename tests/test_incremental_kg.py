@@ -131,6 +131,20 @@ def test_failed_staging_write_leaves_stored_graph_untouched(
     _assert_all_tables_equal(spark, out, full_dir)
 
 
+def _snap_buckets(out_dir, table):
+    """(file name, mtime) per bucket partition — byte-level write evidence."""
+    root = os.path.join(out_dir, table)
+    files = {}
+    for b in os.listdir(root):
+        if not b.startswith("bucket="):
+            continue
+        d = os.path.join(root, b)
+        files[b] = sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet"))
+    return files
+
+
 def test_untouched_bucket_partitions_are_not_rewritten(spark, tmp_path):
     """Partition-pruned writes: a batch introducing two brand-new entities
     must rewrite ONLY the bucket partitions that can contain a changed
@@ -149,19 +163,7 @@ def test_untouched_bucket_partitions_are_not_rewritten(spark, tmp_path):
     run_graph_stage(spark, base, alias_dict, out)
     init_incremental_state(spark, base, alias_dict, out)
 
-    def snap(table):
-        root = os.path.join(out, table)
-        files = {}
-        for b in os.listdir(root):
-            if not b.startswith("bucket="):
-                continue
-            d = os.path.join(root, b)
-            files[b] = sorted(
-                (f, os.path.getmtime(os.path.join(d, f)))
-                for f in os.listdir(d) if f.endswith(".parquet"))
-        return files
-
-    before = {t: snap(t) for t in ("edges", "nodes")}
+    before = {t: _snap_buckets(out, t) for t in ("edges", "nodes")}
 
     # two synthetic entities unknown to the alias dict and to the base
     # corpus: no relabel, affected set = the two new ids
@@ -172,7 +174,7 @@ def test_untouched_bucket_partitions_are_not_rewritten(spark, tmp_path):
     assert batch.count() == 1
     run_incremental_kg_update(spark, batch, alias_dict, out)
 
-    after = {t: snap(t) for t in ("edges", "nodes")}
+    after = {t: _snap_buckets(out, t) for t in ("edges", "nodes")}
     for t in ("edges", "nodes"):
         changed = [b for b in before[t] if after[t].get(b) != before[t][b]]
         untouched = [b for b in before[t] if after[t].get(b) == before[t][b]]
@@ -189,6 +191,62 @@ def test_untouched_bucket_partitions_are_not_rewritten(spark, tmp_path):
     fresh_degs = sorted(map(tuple, degrees_from_edges(
         spark.read.parquet(os.path.join(out, "edges"))).collect()))
     assert stored_degs == fresh_degs
+
+
+def test_sparse_relabel_merge_equals_full_rebuild(spark, tmp_path):
+    """A SPARSE batch whose new entity shares a normalized-name block with
+    a stored entity under a SMALLER id relabels the stored component —
+    exercising, at plan level, the delta path, the widened degree set
+    (the rep's neighbors re-decorate), AND the partition-pruned writes,
+    all at once. Every table must still equal the full rebuild."""
+    import hashlib
+
+    from deep_reason_spark.plans.kg_pipeline import MAPPING_DIR
+
+    def uid(s):
+        return "unk-" + hashlib.md5(s.lower().encode()).hexdigest()
+
+    # batch surface "Zorbal-Wexkol" normalizes into the same block as the
+    # stored "Zorbal Wexkol" but hashes to a SMALLER unk id — the merge
+    # therefore relabels the STORED component (checked at module import
+    # time so a vocab change can't silently invert the scenario)
+    assert uid("Zorbal-Wexkol") < uid("Zorbal Wexkol")
+
+    T = ("subject string, predicate string, object string, "
+         "document_id string, order_id int, repo string, "
+         "content_sha256 string")
+    alias_dict = alias_dict_df(spark)
+    base_ex = extract_triples(chunk_repo_files(generate_repo_files(spark, 60)))
+    crafted = spark.createDataFrame(
+        [("Zorbal Wexkol", "maintains", "Nogtiv Savlom",
+          "doc-mb", 0, "org0/proj0", "0" * 64),
+         ("Tivgar Haxpim", "maintains", "Zorbal Wexkol",
+          "doc-mb", 1, "org0/proj0", "0" * 64)], T)
+    base = base_ex.unionByName(crafted).localCheckpoint()
+    out = str(tmp_path / "g")
+    run_graph_stage(spark, base, alias_dict, out)
+    init_incremental_state(spark, base, alias_dict, out)
+    before = _snap_buckets(out, "edges")
+
+    batch = spark.createDataFrame(
+        [("Zorbal-Wexkol", "maintains", "Quofen Balnog",
+          "doc-mu", 0, "org0/proj0", "1" * 64)], T).localCheckpoint()
+    run_incremental_kg_update(spark, batch, alias_dict, out)
+
+    # the stored entity was relabelled under the batch's smaller id
+    mapping = {r["entity_id"]: r["canonical_id"] for r in
+               spark.read.parquet(os.path.join(out, MAPPING_DIR)).collect()}
+    assert mapping[uid("Zorbal Wexkol")] == uid("Zorbal-Wexkol")
+    assert mapping[uid("Zorbal-Wexkol")] == uid("Zorbal-Wexkol")
+
+    # sparse regime: most edge bucket partitions were not rewritten
+    after = _snap_buckets(out, "edges")
+    untouched = [b for b in before if after.get(b) == before[b]]
+    assert len(untouched) >= 8, sorted(set(before) - set(untouched))
+
+    full_dir = str(tmp_path / "full")
+    run_graph_stage(spark, base.unionByName(batch), alias_dict, full_dir)
+    _assert_all_tables_equal(spark, out, full_dir)
 
 
 def test_second_batch_folds_onto_updated_state(spark, tmp_path):
