@@ -560,9 +560,89 @@ GROUP BY 1, 2
 """
 
 
+def q_g9_incremental_degrees(spark, sf_dir):
+    """Incremental DEGREE-STATE maintenance (node → distinct undirected
+    neighbors) under the same late-batch + relabel-merge scenario as g8:
+    old state derives from the stored edges; the fold routes on the
+    WIDENED degree-affected set (affected ∪ neighbors of relabeled reps —
+    a merge changes the reps' neighbors' counts too), recomputes only
+    those nodes from their routed edge lists and passes the rest through.
+    The oracle derives every degree from scratch over the final relabelled
+    triple set — fold == full derivation is exactly the claim under test.
+    (Reference keeps degrees by full graph recompute per refresh,
+    deep-reason kg_agent/graph.py; this is the delta-only re-expression.)"""
+    from deep_reason_spark.operators.graph import (
+        build_edges,
+        degrees_from_edges,
+        incremental_degrees,
+        incremental_edge_update,
+        widen_degree_affected,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    final_supp = F.when(F.col("l_suppkey") % 2 == 1,
+                        F.col("l_suppkey") - 1).otherwise(F.col("l_suppkey"))
+
+    def triples(df, suppkey_col):
+        src = F.concat(F.lit("p"),
+                       F.lpad(F.col("l_partkey").cast("string"), 9, "0"))
+        dst = F.concat(F.lit("s"), F.lpad(suppkey_col.cast("string"), 7, "0"))
+        return df.select(
+            src.alias("src"), dst.alias("dst"),
+            F.lit("supplies").alias("predicate"),
+            F.col("l_orderkey").cast("string").alias("document_id"),
+            F.col("l_linenumber").cast("bigint").alias("order_id"),
+            src.alias("subject_canonical"), dst.alias("object_canonical"),
+        )
+
+    base = triples(li.where(F.col("l_orderkey") % 10 != 0), F.col("l_suppkey"))
+    late = triples(li.where(F.col("l_orderkey") % 10 == 0),
+                   final_supp).localCheckpoint()
+    relabel = load(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 2 == 1).select(
+        F.concat(F.lit("s"), F.lpad(F.col("s_suppkey").cast("string"), 7, "0")
+                 ).alias("rep"),
+        F.concat(F.lit("s"),
+                 F.lpad((F.col("s_suppkey") - 1).cast("string"), 7, "0")
+                 ).alias("final"),
+    ).localCheckpoint()
+    old_edges = build_edges(base).localCheckpoint()
+    affected = (
+        relabel.select(F.col("rep").alias("aid"))
+        .unionByName(relabel.select(F.col("final").alias("aid")))
+        .unionByName(late.select(F.col("src").alias("aid")))
+        .unionByName(late.select(F.col("dst").alias("aid")))
+        .distinct().localCheckpoint()
+    )
+    d = widen_degree_affected(
+        old_edges.select("source", "target"), affected, relabel_map=relabel,
+    ).localCheckpoint()
+    _, touched = incremental_edge_update(
+        old_edges, late, relabel_map=relabel, affected_ids=d,
+        return_split=True)
+    return incremental_degrees(
+        degrees_from_edges(old_edges), touched.localCheckpoint(), d
+    ).select("node", F.col("deg").cast("bigint").alias("deg"))
+
+
+ORACLE_G9 = """
+WITH triples AS (
+  SELECT 'p' || lpad(CAST(l_partkey AS VARCHAR), 9, '0') AS source,
+         's' || lpad(CAST(CASE WHEN l_suppkey % 2 = 1 THEN l_suppkey - 1
+                               ELSE l_suppkey END AS VARCHAR), 7, '0') AS target
+  FROM lineitem
+), ends AS (
+  SELECT source AS node, target AS other FROM triples
+  UNION ALL
+  SELECT target AS node, source AS other FROM triples
+)
+SELECT node, COUNT(DISTINCT other) AS deg FROM ends GROUP BY node
+"""
+
+
 GRAPH_QUERIES = {
     "g7_incremental_cc": q_g7_incremental_cc,
     "g8_incremental_edges": q_g8_incremental_edges,
+    "g9_incremental_degrees": q_g9_incremental_degrees,
     "c1_communities": q_c1_communities,
     "c2_community_reports": q_c2_community_reports,
     "ls1_local_search": q_ls1_local_search,
@@ -574,6 +654,7 @@ GRAPH_QUERIES = {
 GRAPH_ORACLES = {
     "g7_incremental_cc": ORACLE_G7,
     "g8_incremental_edges": ORACLE_G8,
+    "g9_incremental_degrees": ORACLE_G9,
     "c1_communities": ORACLE_C1,
     "c2_community_reports": ORACLE_C2,
     "ls1_local_search": _oracle_ls1(),
