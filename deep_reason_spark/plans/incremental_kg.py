@@ -47,10 +47,17 @@ The derived tables (ontology_*, communities, community_reports, kg_nodes,
 kg_triplets) are refreshed by re-running the SAME builders the full stage
 uses (``kg_pipeline.build_community_tables`` / ``kg_nodes_table`` /
 ``kg_triplets_table`` / ``build_ontology``) over the updated edge
-aggregate + titles — edge-scale work, cheap relative to the corpus pass
-this plan avoids, and table-for-table identical to a full rebuild because
-the builders are shared, not copied. One update call therefore refreshes
-EVERY table ``run_graph_stage`` writes (``GRAPH_TABLE_DIRS``).
+aggregate + titles — table-for-table identical to a full rebuild because
+the builders are shared, not copied. One default update call therefore
+refreshes EVERY table ``run_graph_stage`` writes (``GRAPH_TABLE_DIRS``).
+These builders are however inherently edge-scale GLOBAL recomputes
+(community detection; the densely-numbered relation registry), so once
+the entity catalog grows with the corpus they dominate the per-batch cost
+of BOTH the rebuild and the refresh — the measured growth-regime profile
+put ~85% of the update wall in the derived wave. ``refresh_derived=False``
+therefore folds only the core tables + state (all O(batch + affected))
+and :func:`refresh_derived_tables` re-derives the rollups on a cadence —
+at any refresh point the stored graph equals the full rebuild exactly.
 
 Storage protocol: updated tables are written to a staging dir and swapped
 in with an atomic directory rename (the lazily-read old table must never
@@ -221,11 +228,24 @@ def run_incremental_kg_update(
     community_min_weight: int = 2,
     community_max_degree: int = 64,
     wall_ms: dict | None = None,
+    refresh_derived: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold ``new_triples`` into the graph-stage tables at ``out_dir``
     (requires ``init_incremental_state`` once beforehand). Refreshes ALL
     ten ``run_graph_stage`` tables plus the three state tables; returns the
     refreshed (nodes, edges) readers, matching ``run_graph_stage``.
+
+    ``refresh_derived=False`` maintains only the CORE tables + state
+    (mapping, edges, nodes, blocks, titles, degrees — every one of them
+    O(batch + affected) in the sparse regime) and leaves the DERIVED
+    tables (communities, ontology_*, kg_*) at their previous state: those
+    are inherently edge-scale GLOBAL recomputes (community detection, the
+    densely-numbered relation registry), so at corpus scale they dominate
+    a per-batch refresh in both the full-rebuild and the incremental
+    paths. A deployment folds every batch with ``refresh_derived=False``
+    and calls :func:`refresh_derived_tables` on a cadence — the
+    transactional-core / periodic-rollup split; at any refresh point the
+    derived tables equal the full rebuild exactly.
     ``entity_types`` / ``community_*`` mirror the full stage's knobs and
     must be passed the same values the initial build used, or the derived
     tables diverge from a full rebuild by design. ``wall_ms`` (optional
@@ -473,10 +493,12 @@ def run_incremental_kg_update(
     from concurrent.futures import ThreadPoolExecutor
 
     build_pool = ThreadPoolExecutor(max_workers=3)
-    fut_comm = build_pool.submit(_pooled("cc", lambda: build_community_tables(
-        edge_agg, min_weight=community_min_weight,
-        max_degree=community_max_degree, salt=salt)))
-    fut_onto = build_pool.submit(_pooled("ontology", _onto_cp))
+    fut_comm = fut_onto = None
+    if refresh_derived:
+        fut_comm = build_pool.submit(_pooled("cc", lambda: build_community_tables(
+            edge_agg, min_weight=community_min_weight,
+            max_degree=community_max_degree, salt=salt)))
+        fut_onto = build_pool.submit(_pooled("ontology", _onto_cp))
     # node rows can change ONLY for ids in D (frequency/degree/description
     # aggregate incident edges — all routed into `touched` for D-nodes;
     # titles/types change only inside D by construction), so the sparse
@@ -553,15 +575,19 @@ def run_incremental_kg_update(
         (lambda: new_degrees, DEGREES_DIR, plain),
         (lambda: edges_staged, EDGES_DIR, bucketed("source")),
         (lambda: _nodes_staged(), NODES_DIR, bucketed("id")),
-        (lambda: fut_onto.result()[0], ONTOLOGY_NODES_DIR, vocab),
-        (lambda: fut_onto.result()[1], ONTOLOGY_RELATIONS_DIR, vocab),
-        (lambda: fut_onto.result()[2], ONTOLOGY_CONNECTIONS_DIR, vocab),
-        (lambda: kg_nodes_table(_full_nodes()), KG_NODES_DIR, plain),
-        (lambda: kg_triplets_table(edge_pairs, ctypes, fut_onto.result()[1]),
-         KG_TRIPLETS_DIR, plain),
-        (lambda: fut_comm.result()[0], COMMUNITIES_DIR, plain),
-        (lambda: fut_comm.result()[1], COMMUNITY_REPORTS_DIR, plain),
     ]
+    if refresh_derived:
+        wave += [
+            (lambda: fut_onto.result()[0], ONTOLOGY_NODES_DIR, vocab),
+            (lambda: fut_onto.result()[1], ONTOLOGY_RELATIONS_DIR, vocab),
+            (lambda: fut_onto.result()[2], ONTOLOGY_CONNECTIONS_DIR, vocab),
+            (lambda: kg_nodes_table(_full_nodes()), KG_NODES_DIR, plain),
+            (lambda: kg_triplets_table(edge_pairs, ctypes,
+                                       fut_onto.result()[1]),
+             KG_TRIPLETS_DIR, plain),
+            (lambda: fut_comm.result()[0], COMMUNITIES_DIR, plain),
+            (lambda: fut_comm.result()[1], COMMUNITY_REPORTS_DIR, plain),
+        ]
     # edges/nodes promote per affected bucket partition; the rest per table
     pruned_swaps = {EDGES_DIR: edge_buckets, NODES_DIR: node_buckets}
     swap_dirs = [dir_ for _t, dir_, _w in wave if dir_ not in pruned_swaps]
@@ -594,3 +620,88 @@ def run_incremental_kg_update(
         spark.read.parquet(os.path.join(out_dir, NODES_DIR)).drop("bucket"),
         spark.read.parquet(os.path.join(out_dir, EDGES_DIR)).drop("bucket"),
     )
+
+
+def refresh_derived_tables(
+    spark: SparkSession,
+    out_dir: str,
+    salt: int = 0,
+    entity_types: DataFrame | None = None,
+    community_min_weight: int = 2,
+    community_max_degree: int = 64,
+) -> None:
+    """Re-derive the seven DERIVED tables (communities, community_reports,
+    ontology_*, kg_nodes, kg_triplets) from the CURRENT stored core tables
+    — the cadence-rollup half of the ``refresh_derived=False`` split. Runs
+    the exact builders ``run_graph_stage`` writes with over the stored
+    edges/nodes/mapping, so at any refresh point every derived table
+    equals a full rebuild over all triples folded so far. Edge-scale by
+    nature (community detection and the densely-numbered relation registry
+    are global); per-batch maintenance of these is the cost this function
+    moves OFF the fold path. ``salt``/``entity_types``/``community_*``
+    must match the values the graph was built with."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    edge_agg = spark.read.parquet(os.path.join(out_dir, EDGES_DIR)).select(
+        "id", "human_readable_id", "source", "target", "description",
+        "weight", "text_unit_ids")
+    nodes = spark.read.parquet(os.path.join(out_dir, NODES_DIR)).drop("bucket")
+    mapping = spark.read.parquet(os.path.join(out_dir, MAPPING_DIR))
+    canonical_types = canonical_entity_types(spark, mapping, entity_types)
+    ctypes = canonical_types.withColumnRenamed("canonical_id", "entity_id")
+    edge_pairs = edge_agg.select(
+        F.col("source").alias("subject_id"),
+        F.col("target").alias("object_id"),
+        F.col("description").alias("predicate"),
+    )
+
+    def _pooled(pool: str, fn):
+        def run():
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+            return fn()
+        return run
+
+    def _onto_cp():
+        onodes_, orels_, oconns_ = build_ontology(edge_pairs, ctypes)
+        return onodes_, orels_.localCheckpoint(), oconns_
+
+    build_pool = ThreadPoolExecutor(max_workers=2)
+    fut_comm = build_pool.submit(_pooled("cc", lambda: build_community_tables(
+        edge_agg, min_weight=community_min_weight,
+        max_degree=community_max_degree, salt=salt)))
+    fut_onto = build_pool.submit(_pooled("ontology", _onto_cp))
+
+    def plain(df, path):
+        df.write.mode("overwrite").parquet(path)
+
+    def vocab(df, path):
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    wave = [
+        (lambda: fut_onto.result()[0], ONTOLOGY_NODES_DIR, vocab),
+        (lambda: fut_onto.result()[1], ONTOLOGY_RELATIONS_DIR, vocab),
+        (lambda: fut_onto.result()[2], ONTOLOGY_CONNECTIONS_DIR, vocab),
+        (lambda: kg_nodes_table(nodes), KG_NODES_DIR, plain),
+        (lambda: kg_triplets_table(edge_pairs, ctypes, fut_onto.result()[1]),
+         KG_TRIPLETS_DIR, plain),
+        (lambda: fut_comm.result()[0], COMMUNITIES_DIR, plain),
+        (lambda: fut_comm.result()[1], COMMUNITY_REPORTS_DIR, plain),
+    ]
+    try:
+        with ThreadPoolExecutor(max_workers=len(wave)) as side:
+            futs = [
+                side.submit(
+                    lambda t=thunk, p=os.path.join(out_dir, dir_), w=w_:
+                    _stage(t(), p, w))
+                for thunk, dir_, w_ in wave
+            ]
+            for f in futs:
+                f.result()
+    except BaseException:
+        build_pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    else:
+        build_pool.shutdown(wait=False)
+    for _t, dir_, _w in wave:
+        _swap_in(os.path.join(out_dir, dir_))
+    bump_estimate_epoch()

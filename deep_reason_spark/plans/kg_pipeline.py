@@ -70,11 +70,18 @@ COMMUNITIES_DIR = "communities"
 COMMUNITY_REPORTS_DIR = "community_reports"
 # every table run_graph_stage materializes under out_dir — the incremental
 # refresh plan (plans/incremental_kg.py) must update this exact set
-GRAPH_TABLE_DIRS = (
-    MAPPING_DIR, NODES_DIR, EDGES_DIR,
+# CORE tables are maintained O(affected) per incremental batch; DERIVED
+# tables are inherently edge-scale global recomputes (community detection,
+# the densely-numbered relation registry, their projections) — at corpus
+# scale a deployment refreshes them on a CADENCE rather than per batch
+# (incremental_kg.refresh_derived_tables), like any transactional-core /
+# periodic-rollup split.
+CORE_TABLE_DIRS = (MAPPING_DIR, NODES_DIR, EDGES_DIR)
+DERIVED_TABLE_DIRS = (
     ONTOLOGY_NODES_DIR, ONTOLOGY_RELATIONS_DIR, ONTOLOGY_CONNECTIONS_DIR,
     KG_NODES_DIR, KG_TRIPLETS_DIR, COMMUNITIES_DIR, COMMUNITY_REPORTS_DIR,
 )
+GRAPH_TABLE_DIRS = CORE_TABLE_DIRS + DERIVED_TABLE_DIRS
 
 # byte-gated broadcast guard — shared engine-wide (functions/broadcast.py);
 # the function names are re-exported for existing call sites and tests, but

@@ -155,6 +155,7 @@ def stream_maintain_kg(
     entity_types: DataFrame | None = None,
     community_min_weight: int = 2,
     community_max_degree: int = 64,
+    derived_every: int = 1,
 ):
     """Continuously-maintained knowledge graph over a DOCUMENT stream — the
     streaming face of the delta-only refresh
@@ -172,7 +173,14 @@ def stream_maintain_kg(
     ``init_incremental_state`` pass; every later batch is delta-only. To
     stream on top of an existing batch-built graph, call
     ``init_incremental_state`` once beforehand — the stream then never
-    bootstraps. The bootstrap is fenced by a ``_bootstrap_pending`` flag
+    bootstraps. ``derived_every=N`` folds core tables + state every batch
+    (O(affected)) and refreshes the edge-scale GLOBAL derived tables
+    (communities, ontology_*, kg_*) only on every Nth batch id — the
+    transactional-core / periodic-rollup cadence split of
+    ``run_incremental_kg_update(refresh_derived=...)``; default 1 keeps
+    every table current on every batch.
+
+    The bootstrap is fenced by a ``_bootstrap_pending`` flag
     (written before any mutation, recording the batch id; cleared after
     the applied-marker write): a crash ANYWHERE inside the bootstrap makes
     the replay re-bootstrap from scratch — safe, because the bootstrap is
@@ -213,6 +221,11 @@ def stream_maintain_kg(
             entity_types=entity_types,
             community_min_weight=community_min_weight,
             community_max_degree=community_max_degree,
+            # derived-rollup cadence: batch ids are monotonic within one
+            # checkpoint lineage, so every Nth batch refreshes the global
+            # derived tables and the rest fold core-only (O(affected))
+            refresh_derived=(derived_every <= 1
+                             or batch_id % derived_every == 0),
         )
 
     stream = (
@@ -240,6 +253,7 @@ def _maintain_kg_batch(
     entity_types: DataFrame | None = None,
     community_min_weight: int = 2,
     community_max_degree: int = 64,
+    refresh_derived: bool = True,
 ) -> None:
     """One ``stream_maintain_kg`` micro-batch — module-level so the crash
     fences (pending bootstrap, lineage guard, marker ordering) are directly
@@ -334,6 +348,7 @@ def _maintain_kg_batch(
             entity_types=entity_types,
             community_min_weight=community_min_weight,
             community_max_degree=community_max_degree,
+            refresh_derived=refresh_derived,
         )
         _record(batch_id)
 

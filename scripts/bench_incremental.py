@@ -26,6 +26,15 @@ corpora grow entities with the corpus and a batch touches a batch-sized
 fraction of them — the regime the routed fold, the degree-state fold and
 the partition-pruned writes are designed for. Prints one JSON line per corpus
 size and a summary line.
+
+Scaling mode (``--scaling [n_files]``, default 300000): north-rule
+evidence for the UPDATE itself — the same fold, on the same staged batch
+and a pristine copy of the same prior state, at local[4] and local[16]
+(interleaved N, 4N, N, 4N legs via fresh subprocesses, same leg protocol
+as ``bench.py --scaling``; 4→16 keeps the high leg under the ~20-process
+host knee for this pure-JVM job). Reports fold throughput at both plus
+scaling efficiency. Always uses the growth corpus — the sparse regime is
+the one the routed update is designed for.
 """
 
 from __future__ import annotations
@@ -40,8 +49,121 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+SCALE_N = 4  # --scaling legs: local[4] vs local[16]
+
+
+def _update_leg(work: str) -> int:
+    """One --scaling subprocess leg: fold the staged batch into a PRISTINE
+    copy of the prior state at SPARK_GRAFT_CPUS cores; prints one JSON
+    line. The copy is required because the update mutates its state."""
+    from deep_reason_spark.datagen import alias_dict_df
+    from deep_reason_spark.plans.incremental_kg import run_incremental_kg_update
+    from deep_reason_spark.session import get_spark
+
+    cpus = os.environ["SPARK_GRAFT_CPUS"]
+    leg_dir = tempfile.mkdtemp(prefix="bench_inc_leg_")
+    try:
+        state = os.path.join(leg_dir, "g")
+        shutil.copytree(os.path.join(work, "inc"), state)
+        spark = get_spark(app_name="bench-inc-leg", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
+        spark.sparkContext.setLogLevel("ERROR")
+        batch = spark.read.parquet(os.path.join(work, "batch"))
+        n_batch = batch.count()
+        t0 = time.monotonic()
+        # the per-batch production job is the CORE fold (derived tables
+        # roll up on a cadence) — that's the job whose scaling we claim
+        run_incremental_kg_update(spark, batch, alias_dict_df(spark), state,
+                                  refresh_derived=False)
+        wall = time.monotonic() - t0
+        print(json.dumps({
+            "cpus": int(cpus), "update_sec": round(wall, 2),
+            "batch_triples": n_batch,
+            "triples_per_sec": round(n_batch / wall, 1),
+        }), flush=True)
+        spark.stop()
+    finally:
+        shutil.rmtree(leg_dir, ignore_errors=True)
+    return 0
+
+
+def _scaling(n: int) -> int:
+    """Interleaved local[SCALE_N] vs local[4*SCALE_N] update legs over one
+    shared prep (growth corpus, staged batch, prior state)."""
+    import subprocess
+
+    from deep_reason_spark.datagen import alias_dict_df, generate_repo_files
+    from deep_reason_spark.operators.chunker import chunk_repo_files
+    from deep_reason_spark.operators.extractor import extract_triples
+    from deep_reason_spark.plans.incremental_kg import init_incremental_state
+    from deep_reason_spark.plans.kg_pipeline import run_graph_stage
+    from deep_reason_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="bench_inc_scaling_")
+    load_before = os.getloadavg()
+    try:
+        # prep (untimed): corpus → split triples → prior state
+        spark = get_spark(app_name="bench-inc-prep")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+        extract_triples(chunk_repo_files(generate_repo_files(
+            spark, n, extra_entities=8 * n))
+        ).write.parquet(os.path.join(work, "triples"))
+        full = spark.read.parquet(os.path.join(work, "triples"))
+        is_batch = F.pmod(F.xxhash64("document_id"), F.lit(10)) == 0
+        full.where(~is_batch).write.parquet(os.path.join(work, "base"))
+        full.where(is_batch).write.parquet(os.path.join(work, "batch"))
+        base = spark.read.parquet(os.path.join(work, "base"))
+        alias_dict = alias_dict_df(spark)
+        run_graph_stage(spark, base, alias_dict, os.path.join(work, "inc"))
+        init_incremental_state(spark, base, alias_dict,
+                               os.path.join(work, "inc"))
+        spark.stop()
+
+        runs: dict[str, list] = {str(SCALE_N): [], str(4 * SCALE_N): []}
+        for cpus in (str(SCALE_N), str(4 * SCALE_N)) * 2:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--update-leg", work],
+                env={**os.environ, "SPARK_GRAFT_CPUS": cpus},
+                capture_output=True, text=True, check=True,
+            )
+            runs[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        lo_runs, hi_runs = runs[str(SCALE_N)], runs[str(4 * SCALE_N)]
+        pair_effs = [
+            round(h["triples_per_sec"] / l["triples_per_sec"] / 4.0, 3)
+            for l, h in zip(lo_runs, hi_runs)
+        ]
+        # same conservative pair selection as bench.py run_scaling: anchor
+        # on the least-contended LOW leg (a contended low leg inflates
+        # efficiency)
+        best_i = max(range(len(lo_runs)),
+                     key=lambda i: lo_runs[i]["triples_per_sec"])
+        lo, hi = lo_runs[best_i], hi_runs[best_i]
+        print(json.dumps({
+            "metric": f"incremental refresh scaling local[{SCALE_N}] -> "
+                      f"local[{4 * SCALE_N}]",
+            "n_files": n, "entity_regime": "growth",
+            "low": lo, "high": hi,
+            "speedup": round(hi["triples_per_sec"] / lo["triples_per_sec"], 3),
+            "scaling_efficiency": round(
+                hi["triples_per_sec"] / lo["triples_per_sec"] / 4.0, 3),
+            "pair_efficiencies": pair_effs,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        }), flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
+    if args[:1] == ["--update-leg"]:
+        return _update_leg(args[1])
+    if "--scaling" in args:
+        rest = [int(a) for a in args if a not in ("--scaling", "--grow")]
+        return _scaling(rest[0] if rest else 300_000)
     grow = "--grow" in args
     sizes = [int(a) for a in args if a != "--grow"] or [30_000, 300_000]
     from pyspark.sql import functions as F
@@ -51,6 +173,7 @@ def main() -> int:
     from deep_reason_spark.operators.extractor import extract_triples
     from deep_reason_spark.plans.incremental_kg import (
         init_incremental_state,
+        refresh_derived_tables,
         run_incremental_kg_update,
     )
     from deep_reason_spark.plans.kg_pipeline import run_graph_stage
@@ -109,6 +232,24 @@ def main() -> int:
             run_graph_stage(spark, base, alias_dict, os.path.join(work, "inc"))
             init_incremental_state(spark, base, alias_dict,
                                    os.path.join(work, "inc"))
+            # pristine copy (untimed) so the cadence split is timed on the
+            # same prior state as the all-tables update
+            shutil.copytree(os.path.join(work, "inc"),
+                            os.path.join(work, "inc_core"))
+
+            # cadence split: per-batch CORE fold (O(affected)) + the
+            # amortized derived rollup (refresh_derived_tables)
+            laps_core: dict = {}
+            t0 = time.monotonic()
+            run_incremental_kg_update(spark, batch, alias_dict,
+                                      os.path.join(work, "inc_core"),
+                                      wall_ms=laps_core,
+                                      refresh_derived=False)
+            t_core = time.monotonic() - t0
+            t0 = time.monotonic()
+            refresh_derived_tables(spark, os.path.join(work, "inc_core"))
+            t_rollup = time.monotonic() - t0
+
             load_inc = [round(x, 2) for x in os.getloadavg()]
             laps: dict = {}
             t0 = time.monotonic()
@@ -124,6 +265,10 @@ def main() -> int:
             "full_rebuild_sec": round(t_full, 2),
             "incremental_sec": round(t_inc, 2),
             "speedup": round(t_full / t_inc, 2),
+            "core_fold_sec": round(t_core, 2),
+            "core_fold_speedup": round(t_full / t_core, 2),
+            "derived_rollup_sec": round(t_rollup, 2),
+            "core_fold_wall_ms": laps_core,
             "loadavg_before_full": load_full,
             "loadavg_before_incremental": load_inc,
             "incremental_wall_ms": laps,

@@ -249,6 +249,54 @@ def test_sparse_relabel_merge_equals_full_rebuild(spark, tmp_path):
     _assert_all_tables_equal(spark, out, full_dir)
 
 
+def test_core_fold_plus_cadence_rollup_equals_full_rebuild(spark, tmp_path):
+    """The transactional-core / periodic-rollup split: two batches folded
+    with refresh_derived=False maintain ONLY the core tables + state (the
+    derived tables' files stay byte-untouched), and one
+    refresh_derived_tables() call afterwards lands every table on the full
+    rebuild exactly."""
+    from deep_reason_spark.plans.incremental_kg import refresh_derived_tables
+    from deep_reason_spark.plans.kg_pipeline import (
+        CORE_TABLE_DIRS,
+        DERIVED_TABLE_DIRS,
+    )
+
+    alias_dict = alias_dict_df(spark)
+    triples = extract_triples(
+        chunk_repo_files(generate_repo_files(spark, 60))).localCheckpoint()
+    waves = [
+        triples.where(F.pmod(F.xxhash64("document_id"), F.lit(3)) == i)
+        .localCheckpoint()
+        for i in range(3)
+    ]
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    run_graph_stage(spark, triples, alias_dict, full_dir)
+
+    run_graph_stage(spark, waves[0], alias_dict, inc_dir)
+    init_incremental_state(spark, waves[0], alias_dict, inc_dir)
+
+    def mtimes(table):
+        root = os.path.join(inc_dir, table)
+        return sorted((f, os.path.getmtime(os.path.join(root, f)))
+                      for f in os.listdir(root))
+
+    derived_before = {t: mtimes(t) for t in DERIVED_TABLE_DIRS}
+    run_incremental_kg_update(spark, waves[1], alias_dict, inc_dir,
+                              refresh_derived=False)
+    run_incremental_kg_update(spark, waves[2], alias_dict, inc_dir,
+                              refresh_derived=False)
+    # derived tables were not even touched by the core folds
+    assert {t: mtimes(t) for t in DERIVED_TABLE_DIRS} == derived_before
+    # core tables already equal the full rebuild
+    for name in CORE_TABLE_DIRS:
+        assert _table_rows(spark, inc_dir, name) == _table_rows(
+            spark, full_dir, name), f"core table {name} diverged"
+
+    refresh_derived_tables(spark, inc_dir)
+    _assert_all_tables_equal(spark, inc_dir, full_dir)
+
+
 def test_second_batch_folds_onto_updated_state(spark, tmp_path):
     """The update is re-appliable: state written by one update round is the
     input of the next (three waves == one full rebuild), across all ten
