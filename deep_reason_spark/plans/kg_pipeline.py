@@ -56,10 +56,14 @@ EDGES_DIR = "edges"
 # bucket count for the two hash-partitioned corpus-scale tables (edges
 # by source, nodes by id). 16 keeps local test tables readable; a
 # cluster deployment raises it (e.g. 4096) so the incremental plan's
-# partition-pruned writes touch a small fraction per batch — both the
-# full stage and incremental_kg read THIS constant, so they can never
-# disagree on the layout.
-N_BUCKETS = 16
+# partition-pruned writes touch a small fraction per batch — with 16
+# buckets any batch touching ≳50 entities dirties every partition, so
+# pruning only shows at test scale with a higher count. Env-overridable
+# (read once at import) for benchmarks; both the full stage and
+# incremental_kg read THIS constant, so they can never disagree on the
+# layout — but tables built under one value must be updated under the
+# same value.
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_N_BUCKETS", "16"))
 MAPPING_DIR = "entity_mapping"
 ONTOLOGY_NODES_DIR = "ontology_nodes"
 ONTOLOGY_RELATIONS_DIR = "ontology_relations"

@@ -16,8 +16,12 @@ Methodology (bench-discipline rules from BASELINE.md):
 - loadavg is sampled before each timed leg; compare legs only within a
   quiet window.
 
-Usage: python scripts/bench_incremental.py [--grow] [n_files ...]
-(default 30000 300000). ``--grow`` switches the corpus to the
+Usage: python scripts/bench_incremental.py [--grow] [--batch-mod K]
+[n_files ...] (default 30000 300000; the update batch is the 1/K
+document-hash slice, default K=10 — real deployments fold ~1% batches,
+so pass K=100 for the production-shaped ratio; set SPARK_GRAFT_N_BUCKETS
+to raise the partition count so write pruning is visible at test scale,
+e.g. 256). ``--grow`` switches the corpus to the
 entity-GROWTH regime (datagen ``extra_entities = 8 * n_files``, file-local
 long-tail draws): the base vocabulary saturates at ~1,080 entities, putting
 every batch in the adversarial worst case where the affected set covers the
@@ -165,6 +169,11 @@ def main() -> int:
         rest = [int(a) for a in args if a not in ("--scaling", "--grow")]
         return _scaling(rest[0] if rest else 300_000)
     grow = "--grow" in args
+    bmod = 10
+    if "--batch-mod" in args:
+        i = args.index("--batch-mod")
+        bmod = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     sizes = [int(a) for a in args if a != "--grow"] or [30_000, 300_000]
     from pyspark.sql import functions as F
 
@@ -196,7 +205,7 @@ def main() -> int:
                 spark, n, extra_entities=(8 * n if grow else 0)))
         ).write.parquet(os.path.join(work, "triples"))
         full = spark.read.parquet(os.path.join(work, "triples"))
-        is_batch = F.pmod(F.xxhash64("document_id"), F.lit(10)) == 0
+        is_batch = F.pmod(F.xxhash64("document_id"), F.lit(bmod)) == 0
         full.where(~is_batch).write.parquet(os.path.join(work, "base"))
         full.where(is_batch).write.parquet(os.path.join(work, "batch"))
         base = spark.read.parquet(os.path.join(work, "base"))
@@ -262,6 +271,9 @@ def main() -> int:
         row = {
             "n_files": n, "n_triples": n_triples, "batch_triples": n_batch,
             "entity_regime": "growth" if grow else "saturated",
+            "batch_mod": bmod, "n_buckets":
+                __import__("deep_reason_spark.plans.kg_pipeline",
+                           fromlist=["N_BUCKETS"]).N_BUCKETS,
             "full_rebuild_sec": round(t_full, 2),
             "incremental_sec": round(t_inc, 2),
             "speedup": round(t_full / t_inc, 2),
