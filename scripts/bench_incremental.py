@@ -56,6 +56,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCALE_N = 4  # --scaling legs: local[4] vs local[16]
 
 
+def _drain_jvm_state(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD and clear the SQL cache
+    between timed legs. The default-mode bench runs four graph-stage-scale
+    jobs per corpus size in ONE shared JVM; each stage pins dozens of
+    localCheckpoint blocks whose Python references die at leg end but whose
+    JVM blocks drain only when py4j GC + the ContextCleaner catch up. Left
+    alone, pinned storage from earlier legs starves later legs' execution
+    memory (observed 2026-08-18: GCLocker retry warnings, a 3x-inflated
+    final write lap at 300k, then UNABLE_TO_ACQUIRE_MEMORY at the 1M
+    corpus). Safe between legs: every leg's input/output state lives on
+    disk as parquet — no live frame from a previous leg is ever reused."""
+    import gc
+
+    gc.collect()  # release py4j refs so the JVM side is collectable
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def _update_leg(work: str) -> int:
     """One --scaling subprocess leg: fold the staged batch into a PRISTINE
     copy of the prior state at SPARK_GRAFT_CPUS cores; prints one JSON
@@ -222,6 +241,7 @@ def main() -> int:
                                   os.path.join(warm, "g"))
     finally:
         shutil.rmtree(warm, ignore_errors=True)
+    _drain_jvm_state(spark)
 
     rows = []
     for n in sizes:
@@ -237,10 +257,12 @@ def main() -> int:
             run_graph_stage(spark, triples, alias_dict,
                             os.path.join(work, "full"))
             t_full = time.monotonic() - t0
+            _drain_jvm_state(spark)
             # prior state: full build over the base 90% + one state pass
             run_graph_stage(spark, base, alias_dict, os.path.join(work, "inc"))
             init_incremental_state(spark, base, alias_dict,
                                    os.path.join(work, "inc"))
+            _drain_jvm_state(spark)
             # pristine copy (untimed) so the cadence split is timed on the
             # same prior state as the all-tables update
             shutil.copytree(os.path.join(work, "inc"),
@@ -255,9 +277,11 @@ def main() -> int:
                                       wall_ms=laps_core,
                                       refresh_derived=False)
             t_core = time.monotonic() - t0
+            _drain_jvm_state(spark)
             t0 = time.monotonic()
             refresh_derived_tables(spark, os.path.join(work, "inc_core"))
             t_rollup = time.monotonic() - t0
+            _drain_jvm_state(spark)
 
             load_inc = [round(x, 2) for x in os.getloadavg()]
             laps: dict = {}
@@ -266,6 +290,7 @@ def main() -> int:
                                       os.path.join(work, "inc"),
                                       wall_ms=laps)
             t_inc = time.monotonic() - t0
+            _drain_jvm_state(spark)
         finally:
             shutil.rmtree(work, ignore_errors=True)
         row = {
