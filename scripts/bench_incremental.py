@@ -93,16 +93,19 @@ def _update_leg(work: str) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         batch = spark.read.parquet(os.path.join(work, "batch"))
         n_batch = batch.count()
+        laps: dict = {}
         t0 = time.monotonic()
         # the per-batch production job is the CORE fold (derived tables
         # roll up on a cadence) — that's the job whose scaling we claim
         run_incremental_kg_update(spark, batch, alias_dict_df(spark), state,
-                                  refresh_derived=False)
+                                  refresh_derived=False, wall_ms=laps)
         wall = time.monotonic() - t0
         print(json.dumps({
             "cpus": int(cpus), "update_sec": round(wall, 2),
             "batch_triples": n_batch,
             "triples_per_sec": round(n_batch / wall, 1),
+            "wall_ms": laps,  # per-phase laps: shows which laps stay fixed
+            # as cores scale (the latency-bound signature) vs shrink
         }), flush=True)
         spark.stop()
     finally:
