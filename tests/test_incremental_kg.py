@@ -193,6 +193,50 @@ def test_untouched_bucket_partitions_are_not_rewritten(spark, tmp_path):
     assert stored_degs == fresh_degs
 
 
+def test_staged_edge_write_partition_prunes_its_read(spark, tmp_path):
+    """The pruned edge write must also partition-prune its READ: the
+    ``bucket isin`` filter on the passthrough has to push through the
+    three broadcast probe joins down to the parquet scan as a
+    PartitionFilter, so a sparse batch reads O(affected partitions) of
+    the stored edge table, not O(graph). Pinned because any projection
+    that drops ``bucket`` before the filter, or a non-pushable probe
+    expression, silently regresses this to a full scan."""
+    from deep_reason_spark.operators.graph import incremental_edge_update
+    from deep_reason_spark.plans.incremental_kg import N_BUCKETS
+
+    path = str(tmp_path / "edges")
+    rows = [(f"e{(i * 7) % 50}", f"e{i}", f"id{i}", f"E{i} rel E{(i * 7) % 50}",
+             "rel", 1.0, [i], 4) for i in range(200)]
+    stored = spark.createDataFrame(
+        rows, "target string, source string, id string, "
+              "human_readable_id string, description string, weight double, "
+              "text_unit_ids array<bigint>, combined_degree long")
+    (stored.withColumn(
+        "bucket", F.pmod(F.xxhash64("source"), F.lit(N_BUCKETS)).cast("int"))
+        .write.partitionBy("bucket").parquet(path))
+    old_edges = spark.read.parquet(path)
+
+    affected = spark.createDataFrame([("e1",), ("e3",)], "aid string") \
+        .localCheckpoint()
+    batch = spark.createDataFrame(
+        [("e1", "rel", "e3", "E1", "E3", "doc1", 7)],
+        "src string, predicate string, dst string, subject_canonical string, "
+        "object_canonical string, document_id string, order_id int")
+    names = spark.createDataFrame(
+        [("e1", "E1"), ("e3", "E3")], "canonical_id string, name string")
+
+    pass_rows, _ = incremental_edge_update(
+        old_edges, batch, names=names, affected_ids=affected,
+        return_split=True)
+    staged = pass_rows.where(F.col("bucket").isin([0, 3])).drop("bucket")
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln
+             or ("FileScan" in ln and "edges" in ln)]
+    assert scans, plan
+    for ln in scans:
+        assert "PartitionFilters: [bucket" in ln and "IN (0,3)" in ln, ln
+
+
 def test_sparse_relabel_merge_equals_full_rebuild(spark, tmp_path):
     """A SPARSE batch whose new entity shares a normalized-name block with
     a stored entity under a SMALLER id relabels the stored component —
