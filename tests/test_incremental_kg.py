@@ -293,6 +293,37 @@ def test_sparse_relabel_merge_equals_full_rebuild(spark, tmp_path):
     _assert_all_tables_equal(spark, out, full_dir)
 
 
+def test_both_dispatch_regimes_equal_full_rebuild(spark, tmp_path, monkeypatch):
+    """Pin BOTH sides of the two-regime dispatch on the same fixture: force
+    the dense threshold to 0 (every batch takes the global-fallback path)
+    and then far above 1 (every batch takes the O(affected) routed path),
+    and require all ten stored tables to equal the full rebuild either way.
+    The other incremental tests hit whichever regime their fixture's
+    affected/stored entity ratio lands on — a threshold or datagen-vocab
+    change could silently flip which path they cover; this test can't."""
+    import deep_reason_spark.plans.incremental_kg as inc
+
+    alias_dict = alias_dict_df(spark)
+    triples = extract_triples(
+        chunk_repo_files(generate_repo_files(spark, 60))).localCheckpoint()
+    part_a = triples.where(
+        F.pmod(F.xxhash64("document_id"), F.lit(3)) != 0).localCheckpoint()
+    part_b = triples.where(
+        F.pmod(F.xxhash64("document_id"), F.lit(3)) == 0).localCheckpoint()
+    full_dir = str(tmp_path / "full")
+    run_graph_stage(spark, triples, alias_dict, full_dir)
+
+    # forced-dense: n_affected >= 0 is always true; forced-sparse: affected
+    # can exceed STORED entities (new ids), so use a margin well above 1
+    for regime, frac in (("dense", 0.0), ("sparse", 10.0)):
+        monkeypatch.setattr(inc, "DENSE_AFFECTED_FRACTION", frac)
+        out = str(tmp_path / regime)
+        run_graph_stage(spark, part_a, alias_dict, out)
+        init_incremental_state(spark, part_a, alias_dict, out)
+        run_incremental_kg_update(spark, part_b, alias_dict, out)
+        _assert_all_tables_equal(spark, out, full_dir)
+
+
 def test_core_fold_plus_cadence_rollup_equals_full_rebuild(spark, tmp_path):
     """The transactional-core / periodic-rollup split: two batches folded
     with refresh_derived=False maintain ONLY the core tables + state (the
