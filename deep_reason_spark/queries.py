@@ -28,6 +28,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_rebalanced(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + scale-adaptive round-robin rebalance (optimization guide §2.5
+    "input skew" / §6): a parquet input whose ROW-GROUP layout yields fewer
+    scan partitions than the session's cores single-threads every downstream
+    per-row map — ``maxPartitionBytes`` cannot split inside a row group, so
+    a one-row-group file is a one-task scan no matter the config (the
+    sf-dir ``documents`` table is exactly that: one file, one row group).
+    The repartition fires ONLY when the scan underfills the cluster
+    (partitions < defaultParallelism); at real scale — many files / many
+    row groups — the scan already has enough splits and this is a no-op,
+    so the extra shuffle is never paid where it cannot win."""
+    df = load(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,4)")
 
@@ -239,15 +257,28 @@ SELECT direction, COUNT(*) AS n FROM labeled GROUP BY direction
 # ---------------------------------------------------------------------------
 
 def q_a9_degree_metrics(spark, sf_dir):
+    """Same result as the original three-subplan formulation (distinct +
+    two groupBy degree tables + joins back), restructured per guide §2.4:
+    the r5 plan ran the 6M-row distinct aggregation THREE times (edges /
+    pdeg / sdeg each re-aggregate above one reused exchange) and shuffled
+    the edge set three ways. Here the distinct is keyed by ``l_partkey`` up
+    front, so distinct → part-degree window share ONE exchange, and the
+    supplier degree is a second window over one more exchange: 2 exchanges,
+    one distinct pass, no joins."""
     li = load(spark, sf_dir, "lineitem")
-    edges = li.select("l_partkey", "l_suppkey").distinct()
-    pdeg = edges.groupBy("l_partkey").agg(F.count("*").alias("part_degree"))
-    sdeg = edges.groupBy("l_suppkey").agg(F.count("*").alias("supp_degree"))
+    edges = (
+        li.select("l_partkey", "l_suppkey")
+        .repartition("l_partkey")
+        .distinct()  # partitioning by l_partkey satisfies the agg — no 2nd exchange
+    )
+    wp = Window.partitionBy("l_partkey")
+    ws = Window.partitionBy("l_suppkey")
     return (
-        edges.join(pdeg, "l_partkey").join(sdeg, "l_suppkey")
+        edges.withColumn("_pd", F.count("*").over(wp))
+        .withColumn("_sd", F.count("*").over(ws))
         .select(
             "l_partkey", "l_suppkey",
-            (F.col("part_degree") + F.col("supp_degree")).alias("combined_degree"),
+            (F.col("_pd") + F.col("_sd")).alias("combined_degree"),
         )
     )
 
@@ -323,16 +354,36 @@ FROM region JOIN mins ON rk = r_regionkey
 # ---------------------------------------------------------------------------
 
 def q_j6_two_hop_match(spark, sf_dir):
+    """Same result as the original distinct + self-join formulation,
+    restructured per guide §2.4/§3: the r5 plan computed the 6M-row
+    distinct TWICE (broadcast build side blocked exchange reuse), broadcast
+    6M rows, and probed out ~87M joined rows. A 2-hop match through a
+    shared hub is a per-hub pair enumeration: collect the distinct sorted
+    supplier set per part (ONE shuffle, map-side partial collect_set), then
+    explode the ordered pairs (arr[i] < arr[j] for i < j replicates the
+    a.l_suppkey < b.l_suppkey predicate exactly) and count per pair. No
+    join, no broadcast, one distinct pass; the per-hub set is bounded by
+    suppliers-per-part (~30-55 here), never corpus-scale."""
     li = load(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    a = ps.alias("a")
-    b = ps.alias("b")
-    return (
-        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
-               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
-        .groupBy(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
-        .agg(F.count("*").alias("shared_parts"))
+    grouped = (
+        li.select("l_partkey", "l_suppkey")
+        # keyed up front: the collect_set aggregate then runs ONCE, complete,
+        # 32-way post-shuffle — the row-group-bound 6-task scan otherwise
+        # hosts the whole partial aggregation (guide §2.2 map-task count)
+        .repartition("l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("_ss"))
     )
+    e1 = grouped.select("_ss", F.posexplode("_ss").alias("_i", "s1"))
+    e2 = e1.select(
+        "s1", F.explode(F.expr("slice(_ss, _i + 2, size(_ss))")).alias("s2"))
+    # repartition on s1 THEN aggregate: hash-partitioning by s1 satisfies the
+    # (s1, s2) clustering, so the planner emits one complete aggregate with
+    # no map-side partial pass — at ~50M distinct pairs out of ~87M exploded
+    # rows the partial hash aggregate cannot reduce and is pure overhead
+    # (measured: 8.5 s with partial agg, 6.5 s without, identical result)
+    return (e2.repartition("s1").groupBy("s1", "s2")
+            .agg(F.count("*").alias("shared_parts")))
 
 
 ORACLE_J6 = """
@@ -477,23 +528,28 @@ ORACLES.update(extra_oracles())
 # ---------------------------------------------------------------------------
 
 # Registered queries whose Spark plan or oracle changed since their newest
-# driver row (r5: IVF cell materialization rewires both vector-retrieval
-# consumers; the cypher property joins became byte-gated; the two-regime
-# connected components touches every CC/community consumer). RESET each
-# round after the driver records fresh rows.
+# driver row (r6, the optimization round: hoisted-split text rewrites,
+# scale-adaptive scan rebalance, the pair-enumeration j6, the window-based
+# a9, single-pass d3/d4 — results oracle-identical, plans restructured; see
+# OPTIMIZATION_r06.md). RESET each round after the driver records fresh rows.
 _PLAN_CHANGED_THIS_ROUND = {
-    "rag_ivf_retrieval",
-    "u3_planned_vector",
-    "cy1_text2cypher_agg",
-    "cy2_text2cypher_distinct",
-    "g5_connected_components",
+    "j6_two_hop_match",
+    "a9_degree_metrics",
+    "s1_chunk_documents",
+    "w2_doc_context",
+    "p3_trigram_triples",
+    "kg_predicate_counts",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_guess",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
     "d7_neardup_clusters",
-    "c1_communities",
-    "c2_community_reports",
-    "ds1_drift_search",
-    "t9_topic_aspects",  # r5: two-regime MMR (driver greedy below threshold)
-    "g8_incremental_edges",  # r5: deterministic longest_name tie-break in
-    # build_edges (shared names.py reduction)
+    "d3_minhash_signatures",
+    "d4_lsh_buckets",
+    "d5_simhash",
+    "s10_fulltext_topk",
+    "m1_binary_meta",
 }
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from deep_reason_spark.queries import load
+from deep_reason_spark.queries import load, load_rebalanced
 
 CHUNK_WORDS = 25
 PREDICATE_WORDS = "('join','merge','scan','sort','group','filter')"
@@ -26,20 +26,26 @@ STOPWORDS = "('a','the')"
 # S1/W3-inverse — word-window chunker over documents (chunk + sha256)
 # ---------------------------------------------------------------------------
 
+# `_words` is the pre-split token array: the r5 expression re-ran
+# split(text, ' ') inside the transform lambda — once per CHUNK per row —
+# because Spark does not hoist common subexpressions out of lambda bodies
+# (guide §1.2 "per-task work"). Splitting once in a child projection makes
+# every lambda reference an O(1) attribute lookup.
 _CHUNK_EXPR = f"""
 posexplode(
-  CASE WHEN size(split(text, ' ')) > 0
+  CASE WHEN size(_words) > 0
        THEN transform(
-              sequence(0, cast(ceil(size(split(text, ' ')) / {CHUNK_WORDS}.0) as int) - 1),
-              i -> array_join(slice(split(text, ' '), i * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' '))
+              sequence(0, cast(ceil(size(_words) / {CHUNK_WORDS}.0) as int) - 1),
+              i -> array_join(slice(_words, i * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' '))
        ELSE array() END
 ) AS (order_id, chunk_text)
 """
 
 
 def q_s1_chunk_documents(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_CHUNK_EXPR)).select(
+    d = load_rebalanced(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("_words"))
+    return words.select("doc_id", F.expr(_CHUNK_EXPR)).select(
         "doc_id",
         F.col("order_id").cast("int").alias("order_id"),
         "chunk_text",
@@ -87,26 +93,32 @@ FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY order_id)
 # kg_agent/chains.py:383-387 shape, deterministic word-trigram contract)
 # ---------------------------------------------------------------------------
 
+# `_words` pre-split, as in _CHUNK_EXPR: the r5 expression re-ran
+# split(text, ' ') INSIDE the filter lambda — once per word position per
+# row, i.e. O(n_words²) full-text splits per document — plus three more
+# whole-row splits in the output projection. The hoisted array makes the
+# per-position predicate probe an O(1) element_at.
 _TRIPLE_EXPR = f"""
 explode(
-  CASE WHEN size(split(text, ' ')) >= 3
-       THEN filter(sequence(1, size(split(text, ' ')) - 2),
-                   i -> element_at(split(text, ' '), i + 1) IN {PREDICATE_WORDS})
+  CASE WHEN size(_words) >= 3
+       THEN filter(sequence(1, size(_words) - 2),
+                   i -> element_at(_words, i + 1) IN {PREDICATE_WORDS})
        ELSE array() END
 ) AS pos
 """
 
 
 def q_p3_trigram_triples(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("_words"))
     return (
-        d.select("doc_id", "text", F.expr(_TRIPLE_EXPR))
+        words.select("doc_id", "_words", F.expr(_TRIPLE_EXPR))
         .select(
             "doc_id",
             F.col("pos").cast("int").alias("pos"),
-            F.expr("element_at(split(text, ' '), cast(pos as int))").alias("subject"),
-            F.expr("element_at(split(text, ' '), cast(pos as int) + 1)").alias("predicate"),
-            F.expr("element_at(split(text, ' '), cast(pos as int) + 2)").alias("object"),
+            F.expr("element_at(_words, cast(pos as int))").alias("subject"),
+            F.expr("element_at(_words, cast(pos as int) + 1)").alias("predicate"),
+            F.expr("element_at(_words, cast(pos as int) + 2)").alias("object"),
         )
     )
 
@@ -145,7 +157,7 @@ FROM tr GROUP BY predicate
 # ---------------------------------------------------------------------------
 
 def q_t1_token_stats(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_tokens"),
@@ -166,7 +178,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_t2_quality_score(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.expr(
@@ -198,7 +210,7 @@ FROM w
 # ---------------------------------------------------------------------------
 
 def q_t3_lang_guess(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     en = f"size(filter(split(text, ' '), w -> w IN {STOPWORDS}))"
     return d.select(
         "doc_id",
@@ -225,7 +237,7 @@ _FPRINT_DUCK = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def q_d1_exact_dedup(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.expr(_FPRINT).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -252,7 +264,7 @@ D2_BLOCK_CAP = 64
 
 
 def q_d2_ngram_jaccard(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "source",
         F.expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), "
@@ -355,13 +367,26 @@ FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 # ---------------------------------------------------------------------------
 
 def q_d3_minhash_signatures(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    sigs = [
-        f"array_min(transform(array_distinct(split(text, ' ')), "
-        f"w -> md5(concat('{j}:', w)))) AS sig{j}"
+    """Same result as the r5 per-column array_min(transform(...)) form,
+    restructured per guide §1.2/§4.1: that form re-split and re-dedup'd the
+    text once per signature column AND ran 4 interpreted lambda passes per
+    row (higher-order lambdas have no codegen — the d5 lesson). Exploding
+    the distinct words once and taking the four MIN aggregates keeps the
+    md5s inside whole-stage codegen with map-side partial aggregation
+    (grouping key doc_id is the scan's natural clustering, so the shuffle
+    carries 4 hashes per doc, not per word). explode_outer keeps a
+    hypothetical null-text row exactly like the transform form did
+    (null signatures, row retained)."""
+    d = load_rebalanced(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode_outer(F.expr("array_distinct(split(text, ' '))")).alias("_w"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_w")))).alias(f"sig{j}")
         for j in range(4)
     ]
-    return d.selectExpr("doc_id", *sigs)
+    return w.groupBy("doc_id").agg(*aggs)
 
 
 ORACLE_D3 = (
@@ -381,17 +406,21 @@ ORACLE_D3 = (
 # ---------------------------------------------------------------------------
 
 def q_d4_lsh_buckets(spark, sf_dir):
+    # one pass: the r5 union of two projections over the sigs subplan
+    # re-computed the minhash signatures once per band (the union
+    # duplicates the subtree — guide §2.4 "duplicated subtrees"); banding
+    # via an in-row struct array + explode reads and hashes each doc once.
     sigs = q_d3_minhash_signatures(spark, sf_dir)
-    bands = []
-    for band, (x, y) in enumerate([(0, 1), (2, 3)]):
-        bands.append(
-            sigs.select(
-                F.lit(band).alias("band"),
-                F.md5(F.concat(F.col(f"sig{x}"), F.col(f"sig{y}"))).alias("bucket"),
-                "doc_id",
-            )
-        )
-    allb = bands[0].unionByName(bands[1])
+    allb = sigs.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.md5(F.concat("sig0", "sig1")).alias("bucket")),
+            F.struct(F.lit(1).alias("band"),
+                     F.md5(F.concat("sig2", "sig3")).alias("bucket")),
+        )).alias("_bb"),
+    ).select(F.col("_bb.band").alias("band"),
+             F.col("_bb.bucket").alias("bucket"), "doc_id")
     return (
         allb.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"))
@@ -427,7 +456,7 @@ def q_d5_simhash(spark, sf_dir):
     codegen (measured 1.6 s, identical values, same oracle).
     bit j of the simhash is set iff more words have bit j set than not:
     2·Σ(bit_j) > n (⇔ the +1/−1 balance is > 0)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
         F.explode(F.expr("array_distinct(split(text, ' '))")).alias("w"),
@@ -472,7 +501,7 @@ def q_s10_fulltext_topk(spark, sf_dir):
     dataflow form of ES multi_match (rag/pipeline.py:224-273). Top-10 is
     orderBy+limit (TakeOrderedAndProject), not a single-partition window."""
     from deep_reason_spark.plans.rag_pipeline import fulltext_scores
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     qs = spark.createDataFrame([(1, "spark query vector")],
                                "question_id int, question string")
     return (
@@ -569,7 +598,7 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 def q_m1_binary_meta(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load_rebalanced(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.length(F.col("text").cast("binary")).alias("payload_bytes"),
