@@ -144,17 +144,30 @@ def run_triples_stage(
     # the per-bucket input hash for the ledger (parquet/Iceberg reads only
     # repo/path/commit here, never `content`). The hash is the reference's
     # cache key made distributed (md5-of-input, kg_agent/utils.py:101-114).
-    work = {
-        r["bucket"]: (r["n"], f"{r['h']}:{r['n']}")
-        for r in todo_files.groupBy("bucket").agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("repo", "path", "commit").cast("decimal(38,0)"))
-            .alias("h"),
-        ).collect()
-    }
-    bucket_counts = {b: n for b, (n, _) in work.items()}
-    todo_buckets = sorted(bucket_counts)
-    if todo_buckets:
+    # The collect runs on a side thread in its own FAIR pool: only the
+    # write_salt sizing needs a row count up front (a cheap count job), and
+    # the full hash rows are not consumed until the ledger commit AFTER the
+    # main write — serialized, the worklist job was ~1 s of pure pre-write
+    # latency at the bench corpus (guide §2.6 overlap independent jobs).
+    def _collect_work() -> dict:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "worklist")
+        return {
+            r["bucket"]: (r["n"], f"{r['h']}:{r['n']}")
+            for r in todo_files.groupBy("bucket").agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("repo", "path", "commit").cast("decimal(38,0)"))
+                .alias("h"),
+            ).collect()
+        }
+
+    work_pool = ThreadPoolExecutor(max_workers=1)
+    work_fut = work_pool.submit(_collect_work)
+    try:
+        n_files_todo = todo_files.count()
+    except BaseException:
+        work_pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    if n_files_todo:
         # ONE shuffle for the whole extraction path: raw file rows move to
         # their checkpoint bucket; chunking (intra-row arrays), extraction
         # (mapInPandas) and the partitioned write all preserve it.
@@ -165,7 +178,6 @@ def run_triples_stage(
         # buckets into every task → tasks×buckets small files). The salt is
         # therefore adaptive: 1 on small corpora (64 output files), up to 8
         # at millions of files (fine-grained balance + hub-repo splitting).
-        n_files_todo = sum(bucket_counts.values())
         write_salt = min(8, max(1, n_files_todo // 25_000))
         aligned = (
             todo_files
@@ -177,9 +189,18 @@ def run_triples_stage(
         triples = extract_triples(
             chunks, error_acc=err_acc, engine=engine
         ).withColumn("bucket", bucket_col("repo", n_buckets))
-        write_partitioned(triples, os.path.join(out_dir, TRIPLES_DIR), align=False)
+        try:
+            write_partitioned(
+                triples, os.path.join(out_dir, TRIPLES_DIR), align=False)
+        except BaseException:
+            work_pool.shutdown(wait=True, cancel_futures=True)
+            raise
         wall = int((time.monotonic() - t0) * 1000)
-        # ledger rows: per-bucket row counts of what we just wrote
+        # ledger rows: per-bucket row counts of what we just wrote; the
+        # worklist hashes resolve here — by now the side job long finished
+        # under the main write
+        work = work_fut.result()
+        todo_buckets = sorted(work)
         written = (
             spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
             .groupBy("bucket").agg(F.count("*").alias("n"))
@@ -189,6 +210,7 @@ def run_triples_stage(
         ledger.commit("triples", rows)
         metrics.buckets_processed = len(todo_buckets)
         metrics.extract_errors = err_acc.value
+    work_pool.shutdown(wait=True)
     metrics.wall_ms["triples"] = int((time.monotonic() - t0) * 1000)
     return spark.read.parquet(os.path.join(out_dir, TRIPLES_DIR))
 

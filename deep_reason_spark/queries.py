@@ -55,7 +55,12 @@ def _dec(col: str) -> F.Column:
 # ---------------------------------------------------------------------------
 
 def q_a7_pricing_summary(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    # rebalanced scan: the decimal partial aggregation is the dominant cost
+    # and the row-group-bound lineitem scan caps it at 6 tasks; the small
+    # shuffle buys a cluster-wide map side (measured 1.45 → 1.0 s at sf1.0).
+    # NOT applied to window queries (w3): their first window exchange
+    # already redistributes, so a pre-shuffle there is pure added cost.
+    li = load_rebalanced(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -298,7 +303,9 @@ FROM edges e JOIN pdeg USING (l_partkey) JOIN sdeg USING (l_suppkey)
 # ---------------------------------------------------------------------------
 
 def q_a11_salted_hot_agg(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    # rebalanced scan, same rationale as a7: the salted partial aggregation
+    # is map-side work capped at the row-group count without it
+    li = load_rebalanced(spark, sf_dir, "lineitem")
     nsalt = 16
     partial = (
         li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(nsalt)))
@@ -374,16 +381,25 @@ def q_j6_two_hop_match(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("_ss"))
     )
-    e1 = grouped.select("_ss", F.posexplode("_ss").alias("_i", "s1"))
-    e2 = e1.select(
-        "s1", F.explode(F.expr("slice(_ss, _i + 2, size(_ss))")).alias("s2"))
+    # one (s1, tail-array) row per set position crosses the exchange — the
+    # ~87M individual pairs would pay 14× the per-row shuffle overhead for
+    # the same bytes; s2 explodes only AFTER the shuffle (guide §2.3
+    # "shuffle keys and metadata instead of payloads")
+    e1 = grouped.select(
+        F.posexplode("_ss").alias("_i", "s1"),
+        F.expr("slice(_ss, _i + 2, size(_ss))").alias("_tail"),
+    )
     # repartition on s1 THEN aggregate: hash-partitioning by s1 satisfies the
     # (s1, s2) clustering, so the planner emits one complete aggregate with
     # no map-side partial pass — at ~50M distinct pairs out of ~87M exploded
     # rows the partial hash aggregate cannot reduce and is pure overhead
     # (measured: 8.5 s with partial agg, 6.5 s without, identical result)
-    return (e2.repartition("s1").groupBy("s1", "s2")
-            .agg(F.count("*").alias("shared_parts")))
+    return (
+        e1.where(F.size("_tail") > 0)
+        .repartition("s1")
+        .select("s1", F.explode("_tail").alias("s2"))
+        .groupBy("s1", "s2").agg(F.count("*").alias("shared_parts"))
+    )
 
 
 ORACLE_J6 = """
@@ -533,6 +549,9 @@ ORACLES.update(extra_oracles())
 # a9, single-pass d3/d4 — results oracle-identical, plans restructured; see
 # OPTIMIZATION_r06.md). RESET each round after the driver records fresh rows.
 _PLAN_CHANGED_THIS_ROUND = {
+    "a7_pricing_summary",
+    "a11_salted_hot_agg",
+    "v1_cosine_topk",
     "j6_two_hop_match",
     "a9_degree_metrics",
     "s1_chunk_documents",

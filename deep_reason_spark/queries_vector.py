@@ -18,14 +18,16 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from deep_reason_spark.queries import load
+from deep_reason_spark.queries import load, load_rebalanced
 
 _V = "transform(embedding, x -> cast(x as double))"
 _DOT = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
 
 
 def q_v1_cosine_topk(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").select(
+    # rebalanced scan: the interpreted per-row dot-product lambdas are the
+    # cost, and the one-row-group embeddings file is a 2-task scan
+    e = load_rebalanced(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(_V).alias("v"),
     ).withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
