@@ -233,8 +233,19 @@ def test_staged_edge_write_partition_prunes_its_read(spark, tmp_path):
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln
              or ("FileScan" in ln and "edges" in ln)]
     assert scans, plan
+    # spacing/ordering-tolerant probe (ADVICE r5): require a non-empty
+    # PartitionFilters clause on the bucket column mentioning both bucket
+    # ids, rather than Spark's exact "IN (0,3)" rendering, so a version
+    # bump that reformats the membership predicate (spaces after commas,
+    # reordered literals, IN → OR) cannot fail the test while pruning
+    # still works
+    import re
     for ln in scans:
-        assert "PartitionFilters: [bucket" in ln and "IN (0,3)" in ln, ln
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", ln)
+        assert m, ln
+        clause = m.group(1)
+        assert "bucket" in clause and clause.strip(), ln
+        assert re.search(r"\b0\b", clause) and re.search(r"\b3\b", clause), ln
 
 
 def test_sparse_relabel_merge_equals_full_rebuild(spark, tmp_path):
