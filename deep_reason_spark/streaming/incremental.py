@@ -336,8 +336,10 @@ def _maintain_kg_batch(
         init_incremental_state(spark, triples, alias_dict, stage_dir)
         for name in os.listdir(stage_dir):
             dst = os.path.join(out_dir, name)
-            if os.path.exists(dst):  # crashed earlier move — self-heal
+            if os.path.isdir(dst):  # crashed earlier move — self-heal
                 shutil.rmtree(dst)
+            elif os.path.exists(dst):  # plain file (the state manifest)
+                os.unlink(dst)
             os.rename(os.path.join(stage_dir, name), dst)
         os.rmdir(stage_dir)
         _record(batch_id)

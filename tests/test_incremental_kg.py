@@ -406,3 +406,42 @@ def test_second_batch_folds_onto_updated_state(spark, tmp_path):
     run_incremental_kg_update(spark, waves[2], alias_dict, inc_dir)
 
     _assert_all_tables_equal(spark, inc_dir, full_dir)
+
+
+def test_bucket_count_drift_raises_instead_of_corrupting(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r5 "What's wrong" #1: a graph built under one N_BUCKETS and
+    updated in a session with another would route affected ids into the
+    wrong partition set and silently corrupt the pruned writes. The state
+    manifest written by init_incremental_state must make the fold RAISE on
+    the mismatch (and stay green when the value matches — the positive
+    path is every other test in this file)."""
+    from deep_reason_spark import plans
+    from deep_reason_spark.datagen import REPO_FILES_SCHEMA
+    from deep_reason_spark.plans import incremental_kg as inc
+
+    alias_dict = alias_dict_df(spark)
+    base = extract_triples(
+        chunk_repo_files(generate_repo_files(spark, 40))).localCheckpoint()
+    out = str(tmp_path / "g")
+    run_graph_stage(spark, base, alias_dict, out)
+    init_incremental_state(spark, base, alias_dict, out)
+    assert os.path.exists(os.path.join(out, inc.STATE_MANIFEST))
+
+    batch_files = spark.createDataFrame(
+        [("org0/proj0", "src/new/file_y.md", "d" * 40, "md",
+          "Vexquol Norbim maintains Quolvex Tarnol.")], REPO_FILES_SCHEMA)
+    batch = extract_triples(chunk_repo_files(batch_files)).localCheckpoint()
+
+    # simulate a session started with a different SPARK_GRAFT_N_BUCKETS:
+    # both modules read the constant from their own globals at call time
+    monkeypatch.setattr(inc, "N_BUCKETS", inc.N_BUCKETS + 7)
+    monkeypatch.setattr(plans.kg_pipeline, "N_BUCKETS",
+                        plans.kg_pipeline.N_BUCKETS + 7)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        run_incremental_kg_update(spark, batch, alias_dict, out)
+
+    # nothing was staged or swapped: the stored tables are untouched
+    for t in ("edges", "nodes"):
+        assert not os.path.exists(os.path.join(out, t + "__staging"))
