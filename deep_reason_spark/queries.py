@@ -393,10 +393,18 @@ def q_j6_two_hop_match(spark, sf_dir):
     # (s1, s2) clustering, so the planner emits one complete aggregate with
     # no map-side partial pass — at ~50M distinct pairs out of ~87M exploded
     # rows the partial hash aggregate cannot reduce and is pure overhead
-    # (measured: 8.5 s with partial agg, 6.5 s without, identical result)
+    # (measured: 8.5 s with partial agg, 6.5 s without, identical result).
+    # Partition count: 8× cores rather than the 2×-cores shuffle default —
+    # this aggregate holds ~1 hash-table entry per input row, so per-task
+    # GROUP count (not bytes) sizes the working set; 64 partitions put
+    # ~780k groups in each task's table and thrashed it (5.7-6.8 s at
+    # sf1.0), 256 keeps ~200k per task (2.3-2.4 s, same result; no penalty
+    # at sf0.1). Derived from defaultParallelism, never a constant
+    # (guide §2.2/§5).
+    n_agg = 8 * spark.sparkContext.defaultParallelism
     return (
         e1.where(F.size("_tail") > 0)
-        .repartition("s1")
+        .repartition(n_agg, "s1")
         .select("s1", F.explode("_tail").alias("s2"))
         .groupBy("s1", "s2").agg(F.count("*").alias("shared_parts"))
     )
